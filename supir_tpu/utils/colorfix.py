@@ -1,0 +1,93 @@
+"""Color correction of restored output against the stage-1 reference image.
+
+Two methods, matching `SUPIR/utils/colorfix.py` behavior:
+  - wavelet: 5-level dilated 3x3 binomial blur pyramid; keep the sample's
+    high frequencies and the stage-1 image's low frequencies.
+  - AdaIN: match per-channel mean/std.
+
+Images are NHWC float arrays (any channel count; the blur kernel is applied
+depthwise). Everything is jit-friendly: static level count, lax convs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_WAVELET_KERNEL = np.array(
+    [
+        [0.0625, 0.125, 0.0625],
+        [0.125, 0.25, 0.125],
+        [0.0625, 0.125, 0.0625],
+    ],
+    dtype=np.float32,
+)
+
+
+def wavelet_blur(image: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Depthwise 3x3 binomial blur with dilation=radius, replicate padding.
+
+    image: [N, H, W, C].
+    """
+    n, h, w, c = image.shape
+    kernel = jnp.asarray(_WAVELET_KERNEL, image.dtype)
+    # depthwise: [kh, kw, 1, channel_multiplier=1], feature_group_count=C
+    kernel = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
+    padded = jnp.pad(
+        image,
+        ((0, 0), (radius, radius), (radius, radius), (0, 0)),
+        mode="edge",
+    )
+    return jax.lax.conv_general_dilated(
+        padded,
+        kernel,
+        window_strides=(1, 1),
+        padding="VALID",
+        rhs_dilation=(radius, radius),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def wavelet_decomposition(image: jnp.ndarray, levels: int = 5):
+    """Returns (high_freq, low_freq) of a dilated-blur pyramid."""
+    high_freq = jnp.zeros_like(image)
+    for i in range(levels):
+        radius = 2**i
+        low_freq = wavelet_blur(image, radius)
+        high_freq = high_freq + (image - low_freq)
+        image = low_freq
+    return high_freq, low_freq
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def wavelet_reconstruction(content: jnp.ndarray, style: jnp.ndarray, levels: int = 5):
+    """content keeps its high frequencies; low frequencies come from style."""
+    content_high, _ = wavelet_decomposition(content, levels)
+    _, style_low = wavelet_decomposition(style, levels)
+    return content_high + style_low
+
+
+def _mean_std(feat: jnp.ndarray, eps: float = 1e-5):
+    # [N, H, W, C] -> per (N, C) statistics. Variance uses the unbiased
+    # estimator to match torch.var's default.
+    n, h, w, c = feat.shape
+    flat = feat.reshape(n, h * w, c)
+    mean = jnp.mean(flat, axis=1, keepdims=True)
+    var = jnp.sum((flat - mean) ** 2, axis=1, keepdims=True) / jnp.maximum(
+        h * w - 1, 1
+    )
+    std = jnp.sqrt(var + eps)
+    return mean.reshape(n, 1, 1, c), std.reshape(n, 1, 1, c)
+
+
+@jax.jit
+def adaptive_instance_normalization(content: jnp.ndarray, style: jnp.ndarray):
+    """Match content's per-channel mean/std to style's."""
+    style_mean, style_std = _mean_std(style)
+    content_mean, content_std = _mean_std(content)
+    normalized = (content - content_mean) / content_std
+    return normalized * style_std + style_mean

@@ -1,0 +1,31 @@
+"""Test harness config: force CPU backend with 8 virtual devices.
+
+This is the TPU-world substitute for testing multi-chip sharding without a
+cluster (SURVEY.md section 4): all `jax.sharding.Mesh` tests run against the
+8 virtual CPU devices, and Pallas kernels run in interpret mode.
+"""
+
+import os
+
+# Force CPU with 8 virtual devices. jax may already be *imported* (a pytest
+# plugin pulls it in before conftest), but no backend is initialized yet, so
+# runtime config still takes effect. The session may have JAX_PLATFORMS
+# pointing at a real TPU; tests need the CPU mesh and fp32 numerics.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
