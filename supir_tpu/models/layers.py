@@ -1,0 +1,125 @@
+"""Shared NN building blocks (flax.linen, NHWC, explicit dtype policy).
+
+Behavioral contracts come from the reference building blocks
+(`sgm/modules/diffusionmodules/util.py`): GroupNorm over 32 groups,
+sinusoidal timestep embeddings with cos-then-sin ordering, zero-initialized
+output projections. Design is TPU-first: NHWC layout (channel minor, so
+convs lower to MXU-friendly matmuls), bf16 compute with fp32 params, and
+normalization statistics always accumulated in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+zeros_init = nn.initializers.zeros
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0):
+    """Sinusoidal embeddings, [N] -> [N, dim]; cos first, then sin
+    (reference `timestep_embedding`, util.py:206-230)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with 32 groups, fp32 statistics, cast back to input dtype.
+
+    eps defaults to the UNet convention (1e-5); the VAE uses 1e-6.
+    """
+
+    eps: float = 1e-5
+    num_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
+class Conv(nn.Module):
+    """3x3/1x1 conv, NHWC."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Any = None  # default: SAME-style symmetric padding of kernel//2
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if pad is None:
+            p = self.kernel // 2
+            pad = [(p, p), (p, p)]
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=zeros_init if self.zero_init else nn.initializers.lecun_normal(),
+            bias_init=zeros_init,
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    zero_init: bool = False
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=zeros_init if self.zero_init else nn.initializers.lecun_normal(),
+            bias_init=zeros_init,
+        )(x)
+
+
+class TimestepEmbedMLP(nn.Module):
+    """Linear -> SiLU -> Linear (time_embed / label_emb head)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Dense(self.features, dtype=self.dtype, name="fc1")(x)
+        x = nn.silu(x)
+        x = Dense(self.features, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x spatial upsample, NHWC."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

@@ -1,0 +1,58 @@
+"""Attention dispatch: one entry point for every attention site.
+
+The reference repo has four attention backends (xformers, torch SDPA, a
+Triton flash kernel, flash-attn pkg — SURVEY.md section 2.5). Here there is
+exactly one API; the backend is chosen by `impl`:
+
+  - "xla": jnp einsum softmax (always available; XLA fuses it well on TPU
+    for moderate sequence lengths)
+  - "flash": Pallas blockwise flash-attention kernel (TPU only; falls back
+    to xla on other backends)
+
+Shapes follow the TPU-friendly convention [B, S, H, D] (batch, seq, heads,
+head_dim) — head_dim last, so the MXU contraction is over the minor dim.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, bias=None, causal=False):
+    """[B, S, H, D] x [B, T, H, D] -> [B, S, H, D], fp32 softmax accumulation."""
+    orig_dtype = q.dtype
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        s, t = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((s, t), jnp.bool_), k=t - s)
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1).astype(orig_dtype)
+    return jnp.einsum("bhst,bthd->bshd", weights, v)
+
+
+def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto"):
+    """Scaled dot-product attention over [B, S, H, D] tensors.
+
+    impl="auto" uses the Pallas flash kernel on TPU for long sequences and
+    plain XLA otherwise.
+    """
+    if impl == "auto":
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and q.shape[1] >= 256
+            and k.shape[1] >= 256
+            and q.shape[-1] <= 128
+        )
+        impl = "flash" if use_flash else "xla"
+    if impl == "flash":
+        from supir_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias, causal=causal)
+    return _xla_attention(q, k, v, bias=bias, causal=causal)

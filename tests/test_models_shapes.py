@@ -1,0 +1,114 @@
+"""Shape-contract tests for VAE / UNet / control path (tiny widths).
+
+Mirrors the reference's `__main__` smoke blocks (SUPIR_v0.py:668-718,
+openaimodel.py:1241-1272): random tensors in, exact shape pyramid out.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supir_tpu.config import SUPIRConfig
+from supir_tpu.models.control import GLVControl, LightGLVUNet
+from supir_tpu.models.unet import UNetModel, encoder_feature_channels
+from supir_tpu.models.vae import AutoencoderKL, DiagonalGaussian
+
+CFG = SUPIRConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return jax.random.split(jax.random.PRNGKey(0), 8)
+
+
+def test_encoder_feature_channels():
+    chans = encoder_feature_channels(CFG.unet)
+    m = CFG.unet.model_channels
+    assert chans == [m, m, m, m, 2 * m, 2 * m, 2 * m, 4 * m, 4 * m]
+
+
+def test_vae_roundtrip_shapes(keys):
+    vae = AutoencoderKL(CFG.vae)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = vae.init(keys[0], x)
+    moments = vae.apply(params, x, method=vae.moments)
+    assert moments.shape == (1, 8, 8, 8)  # f8, 2*z_channels
+    dist = DiagonalGaussian(moments)
+    z = dist.mode()
+    assert z.shape == (1, 8, 8, 4)
+    out = vae.apply(params, z, method=vae.decode)
+    assert out.shape == (1, 64, 64, 3)
+    # denoise encoder is a distinct parameter branch with identical shapes
+    m2 = vae.apply(params, x, True, method=vae.moments)
+    assert m2.shape == moments.shape
+    assert "denoise_encoder" in params["params"]
+
+
+def test_unet_forward_shape(keys):
+    unet = UNetModel(CFG.unet)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, CFG.unet.context_dim))
+    y = jnp.zeros((1, CFG.unet.adm_in_channels))
+    params = unet.init(keys[1], x, t, ctx, y)
+    out = unet.apply(params, x, t, ctx, y)
+    assert out.shape == x.shape
+    assert out.dtype == jnp.float32
+
+
+def test_glv_control_pyramid(keys):
+    """The control net must emit the exact 10-feature pyramid the XL-base
+    mode table expects (cond_output_channels, SUPIR_v0.py:547)."""
+    ctrl_net = GLVControl(CFG.unet)
+    x = jnp.zeros((1, 16, 16, 4))
+    xt = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, CFG.unet.context_dim))
+    y = jnp.zeros((1, CFG.unet.adm_in_channels))
+    params = ctrl_net.init(keys[2], x, t, xt, ctx, y)
+    feats = ctrl_net.apply(params, x, t, xt, ctx, y)
+    assert len(feats) == 10
+    got_ch = tuple(f.shape[-1] for f in feats)
+    assert got_ch == CFG.control.cond_output_channels
+    got_sp = [f.shape[1] for f in feats]
+    assert got_sp == [16, 16, 16, 8, 8, 8, 4, 4, 4, 4]
+
+
+def test_light_glv_unet_consumes_control(keys):
+    ctrl_net = GLVControl(CFG.unet)
+    unet = LightGLVUNet(CFG.unet, CFG.control)
+    x = jnp.zeros((1, 16, 16, 4))
+    xt = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, CFG.unet.context_dim))
+    y = jnp.zeros((1, CFG.unet.adm_in_channels))
+    cparams = ctrl_net.init(keys[3], x, t, xt, ctx, y)
+    control = ctrl_net.apply(cparams, x, t, xt, ctx, y)
+    uparams = unet.init(keys[4], xt, t, ctx, y, control)
+    out = unet.apply(uparams, xt, t, ctx, y, control, 1.0)
+    assert out.shape == (1, 16, 16, 4)
+    assert out.dtype == jnp.float32
+
+
+def test_control_scale_zero_matches_plain_path(keys):
+    """With control_scale=0 every ZeroSFT blends to the raw stream, so the
+    output must be exactly the plain decoder result regardless of control."""
+    ctrl_net = GLVControl(CFG.unet)
+    unet = LightGLVUNet(CFG.unet, CFG.control)
+    rng = jax.random.PRNGKey(7)
+    xt = jax.random.normal(rng, (1, 16, 16, 4))
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (1, 16, 16, 4))
+    t = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.fold_in(rng, 2), (1, 77, CFG.unet.context_dim))
+    y = jax.random.normal(jax.random.fold_in(rng, 3), (1, CFG.unet.adm_in_channels))
+    cparams = ctrl_net.init(keys[5], x, t, xt, ctx, y)
+    control = ctrl_net.apply(cparams, x, t, xt, ctx, y)
+    uparams = unet.init(keys[6], xt, t, ctx, y, control)
+
+    out0 = unet.apply(uparams, xt, t, ctx, y, control, 0.0)
+    control2 = [c + 100.0 for c in control]
+    out0b = unet.apply(uparams, xt, t, ctx, y, control2, 0.0)
+    # ZeroCrossAttn residual is scaled by control_scale too, so scale=0 makes
+    # the whole decoder independent of the control features
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out0b), atol=2e-4)
