@@ -1,0 +1,90 @@
+"""Engine construction: random init (tests) or checkpoint load.
+
+Replaces `SUPIR/util.py:create_SUPIR_model` (OmegaConf reflection + layered
+torch state_dict loads) with explicit param-tree assembly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from supir_tpu.config import SUPIRConfig, UNetConfig
+from supir_tpu.engine.supir import SUPIREngine
+from supir_tpu.models.control import GLVControl, LightGLVUNet
+from supir_tpu.models.embedders import Conditioner, ConditionerConfig
+from supir_tpu.models.vae import AutoencoderKL
+
+
+def tiny_test_config():
+    """A width-scaled config whose conditioner/unet dims are consistent,
+    for fast CPU pipeline tests."""
+    cond_cfg = ConditionerConfig().tiny()
+    ctx = cond_cfg.clip_l.width + cond_cfg.clip_bigg.width  # crossattn dim
+    adm = cond_cfg.clip_bigg.projection_dim + 6 * cond_cfg.vector_outdim
+    unet = dataclasses.replace(
+        UNetConfig().tiny(), context_dim=ctx, adm_in_channels=adm
+    )
+    base = SUPIRConfig.tiny()
+    cfg = dataclasses.replace(
+        base,
+        unet=unet,
+        control=dataclasses.replace(base.control, unet=unet),
+        ae_dtype="fp32",
+        diffusion_dtype="fp32",
+    )
+    return cfg, cond_cfg
+
+
+def init_params(
+    cfg: SUPIRConfig,
+    cond_cfg: Optional[ConditionerConfig],
+    rng: jax.Array,
+    image_size: int = 64,
+):
+    """Random-init the full parameter tree (shapes only matter)."""
+    k_vae, k_ctrl, k_unet, k_cond = jax.random.split(rng, 4)
+    f = cfg.vae.downscale_factor
+    lat = image_size // f
+
+    vae = AutoencoderKL(cfg.vae)
+    vae_params = vae.init(k_vae, jnp.zeros((1, image_size, image_size, 3)))["params"]
+
+    x = jnp.zeros((1, lat, lat, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, cfg.unet.context_dim))
+    y = jnp.zeros((1, cfg.unet.adm_in_channels))
+
+    control_net = GLVControl(cfg.unet, input_upscale=cfg.control.input_upscale)
+    ctrl_params = control_net.init(k_ctrl, x, t, x, ctx, y)["params"]
+    control = control_net.apply({"params": ctrl_params}, x, t, x, ctx, y)
+
+    unet = LightGLVUNet(cfg.unet, cfg.control)
+    unet_params = unet.init(k_unet, x, t, ctx, y, control)["params"]
+
+    params = {"vae": vae_params, "control": ctrl_params, "unet": unet_params}
+    if cond_cfg is not None:
+        conditioner = Conditioner(cond_cfg)
+        tok = jnp.zeros((1, 77), jnp.int32)
+        size = jnp.zeros((1, 2))
+        params["conditioner"] = conditioner.init(k_cond, tok, tok, size, size, size)[
+            "params"
+        ]
+    return params
+
+
+def create_engine(
+    cfg: Optional[SUPIRConfig] = None,
+    cond_cfg: Optional[ConditionerConfig] = None,
+    params=None,
+    rng: Optional[jax.Array] = None,
+    image_size: int = 64,
+) -> SUPIREngine:
+    cfg = cfg or SUPIRConfig()
+    if params is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        params = init_params(cfg, cond_cfg, rng, image_size=image_size)
+    return SUPIREngine(cfg, params, cond_cfg=cond_cfg)

@@ -1,0 +1,291 @@
+"""SUPIREngine — the orchestration layer.
+
+Behavioral contract: `SUPIR/models/SUPIR_model.py` (SUPIRModel) +
+`sgm/models/diffusion.py` (DiffusionEngine): stage-1 denoise-encoding,
+conditioning assembly, the CFG-batched control denoiser, sampling, decoding
+and color fix.
+
+TPU-first redesign:
+  - The reference re-instantiates its sampler from mutated OmegaConf on
+    every call (SUPIR_model.py:101-111). Here sampler settings are data:
+    per-step scalar tables (StepTables) passed as *dynamic* jit arguments,
+    so changing cfg/control/restore scales never recompiles.
+  - Every stage is a cached `jax.jit` closure keyed by (shape, num_steps,
+    sampler); the 50-step hot loop is a single `lax.scan`.
+  - Images/latents are NHWC; dtype policy: bf16 compute / fp32 params,
+    fp32 sampler state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supir_tpu.config import SUPIRConfig, dtype_of
+from supir_tpu.diffusion.denoiser import DiscreteDenoiser
+from supir_tpu.diffusion.discretization import legacy_ddpm_sigmas
+from supir_tpu.diffusion.guidance import cfg_combine
+from supir_tpu.diffusion import samplers as S
+from supir_tpu.models.control import GLVControl, LightGLVUNet
+from supir_tpu.models.embedders import Conditioner, ConditionerConfig
+from supir_tpu.models.vae import AutoencoderKL, DiagonalGaussian
+from supir_tpu.utils.colorfix import (
+    adaptive_instance_normalization,
+    wavelet_reconstruction,
+)
+
+SAMPLERS = {
+    "RestoreEDM": S.restore_edm_sample,
+    "EulerEDM": S.euler_edm_sample,
+    "HeunEDM": S.heun_edm_sample,
+    "EulerAncestral": S.euler_ancestral_sample,
+    "DPMPP2SAncestral": S.dpmpp2s_ancestral_sample,
+    "DPMPP2M": S.dpmpp2m_sample,
+    "RestoreDPMPP2M": S.dpmpp2m_sample,  # eta=1 SDE variant via kwargs
+    "LMS": S.lms_sample,
+}
+
+
+class SUPIREngine:
+    """Holds module definitions + parameter pytree; exposes the reference's
+    public engine surface (`batchify_denoise`, `batchify_sample`,
+    `prepare_condition`, `encode/decode_first_stage`)."""
+
+    def __init__(
+        self,
+        cfg: SUPIRConfig,
+        params: Dict[str, Any],
+        cond_cfg: Optional[ConditionerConfig] = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        ae_dtype = dtype_of(cfg.ae_dtype)
+        diff_dtype = dtype_of(cfg.diffusion_dtype)
+        self.vae = AutoencoderKL(cfg.vae, dtype=ae_dtype)
+        self.control_net = GLVControl(
+            cfg.unet, input_upscale=cfg.control.input_upscale, dtype=diff_dtype
+        )
+        self.unet = LightGLVUNet(cfg.unet, cfg.control, dtype=diff_dtype)
+        self.cond_cfg = cond_cfg
+        self.conditioner = Conditioner(cond_cfg, dtype=ae_dtype) if cond_cfg else None
+        self.denoiser = DiscreteDenoiser(num_idx=cfg.num_idx)
+
+    # ----------------------------------------------------------------- VAE
+
+    @functools.cached_property
+    def _encode_denoise_jit(self):
+        def f(params, x):
+            moments = self.vae.apply(
+                {"params": params["vae"]}, x, True, method=self.vae.moments
+            )
+            z = DiagonalGaussian(moments).mode()
+            return (z * self.cfg.scale_factor).astype(jnp.float32)
+
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _encode_jit(self):
+        def f(params, x):
+            moments = self.vae.apply(
+                {"params": params["vae"]}, x, False, method=self.vae.moments
+            )
+            z = DiagonalGaussian(moments).mode()
+            return (z * self.cfg.scale_factor).astype(jnp.float32)
+
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _decode_jit(self):
+        def f(params, z):
+            out = self.vae.apply(
+                {"params": params["vae"]},
+                z / self.cfg.scale_factor,
+                method=self.vae.decode,
+            )
+            return out.astype(jnp.float32)
+
+        return jax.jit(f)
+
+    def encode_first_stage_with_denoise(self, x):
+        """LQ image [B,H,W,3] in [-1,1] -> stage-1 cleaned latent (mode)."""
+        return self._encode_denoise_jit(self.params, x)
+
+    def encode_first_stage(self, x):
+        return self._encode_jit(self.params, x)
+
+    def decode_first_stage(self, z):
+        return self._decode_jit(self.params, z)
+
+    def batchify_denoise(self, x):
+        """Stage-1: degradation-robust encode then decode (SUPIR_model.py:72)."""
+        return self.decode_first_stage(self.encode_first_stage_with_denoise(x))
+
+    # ---------------------------------------------------------- conditioning
+
+    def prepare_condition(
+        self,
+        z: jnp.ndarray,
+        tokens_l: jnp.ndarray,
+        tokens_bigg: jnp.ndarray,
+        tokens_l_uc: jnp.ndarray,
+        tokens_bigg_uc: jnp.ndarray,
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """SDXL conditioning batch: fixed 1024 size/crop tuples + text
+        (SUPIR_model.py:152-179)."""
+        n = z.shape[0]
+        size = jnp.full((n, 2), 1024.0)
+        crop = jnp.zeros((n, 2))
+
+        def run(tl, tg):
+            out = self.conditioner.apply(
+                {"params": self.params["conditioner"]}, tl, tg, size, crop, size
+            )
+            return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+        c = run(tokens_l, tokens_bigg)
+        uc = run(tokens_l_uc, tokens_bigg_uc)
+        c["control"] = z
+        uc["control"] = z
+        return c, uc
+
+    # -------------------------------------------------------------- sampling
+
+    def _network(self, params, x, t, cond, control_scale):
+        control = self.control_net.apply(
+            {"params": params["control"]},
+            cond["control"],
+            t,
+            x,
+            cond["crossattn"],
+            cond["vector"],
+        )
+        return self.unet.apply(
+            {"params": params["unet"]},
+            x,
+            t,
+            cond["crossattn"],
+            cond["vector"],
+            control,
+            control_scale,
+        )
+
+    @functools.lru_cache(maxsize=16)
+    def _sample_fn(self, sampler_name: str, num_steps: int, eta: float, s_noise: float):
+        sample = SAMPLERS[sampler_name]
+        kwargs = {}
+        if sampler_name in ("RestoreDPMPP2M",):
+            kwargs = dict(eta=eta, s_noise=s_noise)
+        elif sampler_name in ("EulerAncestral", "DPMPP2SAncestral"):
+            kwargs = dict(eta=eta, s_noise=s_noise)
+        elif sampler_name in ("HeunEDM", "EulerEDM"):
+            kwargs = dict(s_noise=s_noise)
+        elif sampler_name == "RestoreEDM":
+            kwargs = dict(s_noise=s_noise)
+
+        def f(params, noised_z, c, uc, x_center, tables, rng):
+            cond2 = {
+                k: jnp.concatenate([uc[k], c[k]], axis=0)
+                for k in ("crossattn", "vector", "control")
+            }
+
+            def denoise(x, sigma_b, cfg_b, ctrl_s):
+                x2 = jnp.concatenate([x, x], axis=0)
+                s2 = jnp.concatenate([sigma_b, sigma_b], axis=0)
+                den = self.denoiser(
+                    functools.partial(self._network, params), x2, s2, cond2, ctrl_s
+                )
+                d_uc, d_c = jnp.split(den, 2, axis=0)
+                return cfg_combine(d_uc, d_c, cfg_b)
+
+            if sampler_name == "RestoreEDM":
+                return sample(denoise, noised_z, rng, tables, x_center=x_center, **kwargs)
+            return sample(denoise, noised_z, rng, tables, **kwargs)
+
+        return jax.jit(f)
+
+    def batchify_sample(
+        self,
+        x: jnp.ndarray,
+        c: Dict[str, jnp.ndarray],
+        uc: Dict[str, jnp.ndarray],
+        num_steps: int = 50,
+        restoration_scale: float = 4.0,
+        s_churn: float = 0.0,
+        s_noise: float = 1.003,
+        cfg_scale: float = 7.5,
+        seed: int = 0,
+        control_scale: float = 1.0,
+        color_fix_type: str = "None",
+        use_linear_cfg: bool = False,
+        use_linear_control_scale: bool = False,
+        cfg_scale_start: float = 1.0,
+        control_scale_start: float = 0.0,
+        sampler_name: Optional[str] = None,
+        z_override: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Full stage-2 pipeline on an LQ image batch [B,H,W,3] in [-1,1].
+
+        `c`/`uc` must come from `prepare_condition` (their 'control' entry is
+        recomputed here from x to guarantee consistency is the caller's
+        choice; we use them as given).
+        """
+        import dataclasses as dc
+
+        assert color_fix_type in ("Wavelet", "AdaIn", "None")
+        cfg = self.cfg
+        sampler_name = sampler_name or cfg.sampler.name
+
+        scfg = dc.replace(
+            cfg.sampler,
+            num_steps=num_steps,
+            restore_cfg=restoration_scale,
+            s_churn=s_churn,
+            s_noise=s_noise,
+            cfg_scale=cfg_scale_start if use_linear_cfg else cfg_scale,
+            cfg_scale_min=cfg_scale,
+            use_linear_cfg=use_linear_cfg,
+        )
+        if sampler_name == "RestoreDPMPP2M":
+            tables = S.restore_dpmpp2m_tables(
+                scfg,
+                num_steps,
+                control_scale=control_scale,
+                use_linear_control_scale=use_linear_control_scale,
+                control_scale_start=control_scale_start,
+            )
+            sigmas = None
+            sigma0 = tables.sigma[0]
+        else:
+            sigmas = legacy_ddpm_sigmas(num_steps)
+            tables = S.make_step_tables(
+                sigmas,
+                scfg,
+                control_scale=control_scale,
+                use_linear_control_scale=use_linear_control_scale,
+                control_scale_start=control_scale_start,
+            )
+            sigma0 = sigmas[0]
+
+        rng = jax.random.PRNGKey(seed)
+        rng_noise, rng_sample = jax.random.split(rng)
+
+        _z = z_override if z_override is not None else self.encode_first_stage_with_denoise(x)
+        x_stage1 = self.decode_first_stage(_z)
+        z_stage1 = self.encode_first_stage(x_stage1)
+
+        noised_z = jax.random.normal(rng_noise, _z.shape, jnp.float32)
+        noised_z = noised_z * np.sqrt(1.0 + float(sigma0) ** 2)
+
+        fn = self._sample_fn(sampler_name, num_steps, cfg.sampler.eta, s_noise)
+        samples_z = fn(self.params, noised_z, c, uc, z_stage1, tables, rng_sample)
+        samples = self.decode_first_stage(samples_z)
+
+        if color_fix_type == "Wavelet":
+            samples = wavelet_reconstruction(samples, x_stage1)
+        elif color_fix_type == "AdaIn":
+            samples = adaptive_instance_normalization(samples, x_stage1)
+        return samples
