@@ -1,0 +1,107 @@
+"""Benchmark: sec/image for a 1024x1024 restoration at 50 EDM steps.
+
+Runs the full stage-2 pipeline (stage-1 denoise-encode, decode, re-encode,
+50-step CFG-batched RestoreEDM sampling with GLVControl+LightGLVUNet at
+full SDXL-base width, VAE decode, wavelet color fix) on ONE chip with
+random-initialized bf16 weights (weight values don't affect throughput).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+vs_baseline = target_seconds / value against the 10 s north-star from
+BASELINE.md (v5e-8); >1.0 means faster than target. Note the target is for
+8 chips; this measures a single chip until the sharded sampler lands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+TARGET_SECONDS = 10.0
+
+
+def _cast_bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--size", type=int, default=1024, help="output resolution")
+    args = ap.parse_args()
+
+    from supir_tpu.config import SUPIRConfig
+    from supir_tpu.engine.factory import create_engine, tiny_test_config
+
+    if args.tiny or jax.default_backend() not in ("tpu",):
+        cfg, _ = tiny_test_config()
+        size = min(args.size, 128)
+        steps = min(args.steps, 4)
+        label = f"sec/image {size}px {steps} EDM steps (tiny cfg, {jax.default_backend()})"
+    else:
+        cfg = SUPIRConfig(ae_dtype="bf16", diffusion_dtype="bf16")
+        size = args.size
+        steps = args.steps
+        label = f"sec/image {size}px {steps} EDM steps (full SDXL width, 1 chip)"
+
+    engine = create_engine(cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64)
+    engine.params = _cast_bf16(engine.params)
+
+    b = 1
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.uniform(rng, (b, size, size, 3), jnp.float32, -1.0, 1.0)
+    lat = size // cfg.vae.downscale_factor
+    c = {
+        "crossattn": jax.random.normal(rng, (b, 77, cfg.unet.context_dim), jnp.float32),
+        "vector": jax.random.normal(rng, (b, cfg.unet.adm_in_channels), jnp.float32),
+        "control": jnp.zeros((b, lat, lat, 4), jnp.float32),
+    }
+    uc = dict(c)
+
+    def run(seed):
+        z = engine.encode_first_stage_with_denoise(x)
+        cc = dict(c, control=z)
+        uu = dict(uc, control=z)
+        out = engine.batchify_sample(
+            x, cc, uu,
+            num_steps=steps,
+            restoration_scale=4.0,
+            cfg_scale=4.0,
+            use_linear_cfg=True,
+            cfg_scale_start=7.5,
+            s_churn=5.0,
+            color_fix_type="Wavelet",
+            seed=seed,
+            z_override=z,
+        )
+        return jax.block_until_ready(out)
+
+    run(0)  # compile + warm caches
+    t0 = time.perf_counter()
+    n_rep = 2
+    for i in range(n_rep):
+        run(i + 1)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    print(
+        json.dumps(
+            {
+                "metric": label,
+                "value": round(dt, 3),
+                "unit": "s",
+                "vs_baseline": round(TARGET_SECONDS / dt, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Pallas TPU flash attention (blockwise online-softmax).
+
+Replaces the reference's attention backend zoo — xformers
+`memory_efficient_attention` (sgm/modules/attention.py:357), torch SDPA
+(:275), and the Triton flash kernel
+(llava/.../mpt/flash_attn_triton.py:51-497) — with one TPU kernel.
+
+Shapes: q [B, S, H, D], k/v [B, T, H, D] -> [B, S, H, D].
+
+Kernel structure: grid (B*H, n_q_blocks, n_kv_blocks); TPU executes the
+minor-most grid dim sequentially per core, so fp32 scratch (running max m,
+normalizer l, accumulator acc) carries across kv blocks of one q block.
+The softmax is never materialized at [S, T]; HBM traffic is O(S*D + T*D).
+
+Supports optional causal masking (for the captioner's autoregressive
+decoder) and ragged kv lengths via trailing-block masking. Falls back to
+interpret mode off-TPU so CPU tests exercise the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, bkv, causal, bq
+):
+    kv_i = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+    q_i = pl.program_id(1)
+
+    @pl.when(kv_i == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def compute():
+        q = q_ref[0]  # [bq, D]
+        k = k_ref[0]  # [bkv, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale  # [bq, bkv]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_i * bkv
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_i * bq
+            mask = mask & (col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, 0:1]  # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # [bq, bkv]
+        corr = jnp.exp(m_prev - m_new)  # [bq, 1]
+        l_new = l_scr[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * corr + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if causal:
+        # skip kv blocks entirely above the diagonal
+        @pl.when(kv_i * bkv <= (q_i + 1) * bq - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(kv_i == n_kv - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "bq", "bkv", "interpret"))
+def flash_attention(
+    q, k, v, bias=None, causal=False, bq: int = 256, bkv: int = 512, interpret: bool | None = None
+):
+    """[B, S, H, D] attention; scale = D**-0.5. `bias` is not supported in
+    the kernel path (UNet/CLIP never need it) — falls back to XLA if given."""
+    if bias is not None:
+        from supir_tpu.ops.attention import _xla_attention
+
+        return _xla_attention(q, k, v, bias=bias, causal=causal)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    bq = min(bq, max(8, 1 << (s - 1).bit_length()))
+    bkv = min(bkv, max(128, 1 << (t - 1).bit_length()))
+    scale = d**-0.5
+
+    # [B, S, H, D] -> [B*H, S, D]
+    qb = _pad_to(q.transpose(0, 2, 1, 3).reshape(b * h, s, d), 1, bq)
+    kb = _pad_to(k.transpose(0, 2, 1, 3).reshape(b * h, t, d), 1, bkv)
+    vb = _pad_to(v.transpose(0, 2, 1, 3).reshape(b * h, t, d), 1, bkv)
+    s_pad, t_pad = qb.shape[1], kb.shape[1]
+    grid = (b * h, s_pad // bq, t_pad // bkv)
+
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, kv_len=t, bkv=bkv, causal=causal, bq=bq
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, kk, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(qb.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    out = out[:, :s].reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    return out

@@ -1,0 +1,48 @@
+"""Pallas flash attention vs the XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supir_tpu.ops.attention import _xla_attention
+from supir_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "s,t",
+    [
+        (256, 256),   # self-attention, block-aligned
+        (300, 300),   # ragged: padding mask must be exact
+        (256, 77),    # cross-attention with short kv (text tokens)
+        (64, 640),    # more kv blocks than q blocks
+    ],
+)
+def test_flash_matches_xla(s, t):
+    b, h, d = 2, 3, 64
+    q, k, v = _rand(0, (b, s, h, d)), _rand(1, (b, t, h, d)), _rand(2, (b, t, h, d))
+    want = _xla_attention(q, k, v)
+    got = flash_attention(q, k, v, bq=128, bkv=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_causal_matches_xla():
+    b, s, h, d = 1, 200, 2, 64
+    q, k, v = _rand(3, (b, s, h, d)), _rand(4, (b, s, h, d)), _rand(5, (b, s, h, d))
+    want = _xla_attention(q, k, v, causal=True)
+    got = flash_attention(q, k, v, causal=True, bq=64, bkv=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_bf16():
+    b, s, h, d = 1, 128, 2, 64
+    q = _rand(6, (b, s, h, d)).astype(jnp.bfloat16)
+    k = _rand(7, (b, s, h, d)).astype(jnp.bfloat16)
+    v = _rand(8, (b, s, h, d)).astype(jnp.bfloat16)
+    want = _xla_attention(q, k, v).astype(jnp.float32)
+    got = flash_attention(q, k, v, bq=128, bkv=128, interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
