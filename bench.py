@@ -82,7 +82,10 @@ def main():
             seed=seed,
             z_override=z,
         )
-        return jax.block_until_ready(out)
+        # NOTE: on the remote (axon-tunneled) TPU platform block_until_ready
+        # does not actually synchronize; a tiny host readback does.
+        jax.device_get(out[0, :1, :1, 0])
+        return out
 
     run(0)  # compile + warm caches
     t0 = time.perf_counter()

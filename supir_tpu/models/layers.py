@@ -40,10 +40,17 @@ class GroupNorm32(nn.Module):
     """GroupNorm with 32 groups, fp32 statistics, cast back to input dtype.
 
     eps defaults to the UNet convention (1e-5); the VAE uses 1e-6.
+
+    `axis_name`: when set, normalization statistics are pooled across that
+    named axis (vmap/shard_map) — this is the TPU-native form of the
+    reference tiled-VAE's cross-tile GroupNorm pooling
+    (SUPIR/utils/tilevae.py:599-648): per-tile mean/var become a collective
+    pmean over the 'tile' axis.
     """
 
     eps: float = 1e-5
     num_groups: int = 32
+    axis_name: str | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -53,6 +60,7 @@ class GroupNorm32(nn.Module):
             epsilon=self.eps,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
+            axis_name=self.axis_name,
         )(x.astype(jnp.float32))
         return out.astype(self.dtype)
 

@@ -30,14 +30,15 @@ Dtype = Any
 
 class VAEResnetBlock(nn.Module):
     out_channels: int
+    norm_axis: str | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(eps=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = Conv(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(eps=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = Conv(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -48,12 +49,13 @@ class VAEResnetBlock(nn.Module):
 class VAEAttnBlock(nn.Module):
     """Single-head spatial self-attention (model.py:158-199)."""
 
+    norm_axis: str | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hid = GroupNorm32(eps=1e-6, dtype=self.dtype, name="norm")(x)
+        hid = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm")(x)
         q = Conv(c, 1, dtype=self.dtype, name="q")(hid).reshape(b, h * w, 1, c)
         k = Conv(c, 1, dtype=self.dtype, name="k")(hid).reshape(b, h * w, 1, c)
         v = Conv(c, 1, dtype=self.dtype, name="v")(hid).reshape(b, h * w, 1, c)
@@ -67,6 +69,7 @@ class VAEEncoder(nn.Module):
     (res, attn, res) -> GN/SiLU -> conv_out (2*z_channels)."""
 
     cfg: VAEConfig
+    norm_axis: str | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -77,7 +80,7 @@ class VAEEncoder(nn.Module):
         for level, mult in enumerate(cfg.ch_mult):
             ch = cfg.ch * mult
             for i in range(cfg.num_res_blocks):
-                h = VAEResnetBlock(ch, dtype=self.dtype, name=f"down_{level}_block_{i}")(h)
+                h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name=f"down_{level}_block_{i}")(h)
             if level != len(cfg.ch_mult) - 1:
                 # asymmetric pad (0,1,0,1) + stride-2 valid conv (model.py:452-460)
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -85,10 +88,10 @@ class VAEEncoder(nn.Module):
                     ch, 3, stride=2, padding=[(0, 0), (0, 0)],
                     dtype=self.dtype, name=f"down_{level}_downsample",
                 )(h)
-        h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_block_1")(h)
-        h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm32(eps=1e-6, dtype=self.dtype, name="norm_out")(h)
+        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_1")(h)
+        h = VAEAttnBlock(norm_axis=self.norm_axis, dtype=self.dtype, name="mid_attn_1")(h)
+        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_2")(h)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm_out")(h)
         h = nn.silu(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return Conv(out_ch, 3, dtype=self.dtype, name="conv_out")(h)
@@ -99,6 +102,7 @@ class VAEDecoder(nn.Module):
     -> GN/SiLU -> conv_out."""
 
     cfg: VAEConfig
+    norm_axis: str | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -107,20 +111,20 @@ class VAEDecoder(nn.Module):
         z = z.astype(self.dtype)
         ch = cfg.ch * cfg.ch_mult[-1]
         h = Conv(ch, 3, dtype=self.dtype, name="conv_in")(z)
-        h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_block_1")(h)
-        h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_block_2")(h)
+        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_1")(h)
+        h = VAEAttnBlock(norm_axis=self.norm_axis, dtype=self.dtype, name="mid_attn_1")(h)
+        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_2")(h)
         for rlevel, mult in enumerate(reversed(cfg.ch_mult)):
             level = len(cfg.ch_mult) - 1 - rlevel
             ch = cfg.ch * mult
             for i in range(cfg.num_res_blocks + 1):
-                h = VAEResnetBlock(ch, dtype=self.dtype, name=f"up_{level}_block_{i}")(h)
+                h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name=f"up_{level}_block_{i}")(h)
             if level != 0:
                 n, hh, ww, cc = h.shape
                 h = h[:, :, None, :, None, :]
                 h = jnp.broadcast_to(h, (n, hh, 2, ww, 2, cc)).reshape(n, 2 * hh, 2 * ww, cc)
                 h = Conv(ch, 3, dtype=self.dtype, name=f"up_{level}_upsample")(h)
-        h = GroupNorm32(eps=1e-6, dtype=self.dtype, name="norm_out")(h)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm_out")(h)
         h = nn.silu(h)
         return Conv(cfg.out_channels, 3, dtype=self.dtype, name="conv_out")(h)
 

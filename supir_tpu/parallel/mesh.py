@@ -31,12 +31,12 @@ def make_mesh(
     axis_sizes=None puts every device on the first axis.
     """
     devices = list(devices) if devices is not None else jax.devices()
-    n = len(devices)
     if axis_sizes is None:
-        axis_sizes = (n,) + (1,) * (len(axis_names) - 1)
-    if int(np.prod(axis_sizes)) != n:
-        raise ValueError(f"axis sizes {axis_sizes} != {n} devices")
-    arr = np.asarray(devices).reshape(axis_sizes)
+        axis_sizes = (len(devices),) + (1,) * (len(axis_names) - 1)
+    need = int(np.prod(axis_sizes))
+    if need > len(devices):
+        raise ValueError(f"axis sizes {axis_sizes} need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(axis_sizes)
     return Mesh(arr, tuple(axis_names))
 
 

@@ -1,0 +1,155 @@
+"""Tiled VAE encode/decode, sharded over the 'tile' mesh axis.
+
+TPU redesign of the reference "Ultimate VAE Tile Optimization"
+(`SUPIR/utils/tilevae.py:677-971`). The reference decomposes the VAE forward
+into a sequential per-tile task queue, suspending every GroupNorm until all
+tiles' statistics are pooled on the host. Here:
+
+  - the image is split into UNIFORM halo-padded tiles (pad 32 px encoder /
+    8 latent decoder, vs the reference's 32/11) stacked on a leading tile
+    axis;
+  - the whole encoder/decoder runs batched over that axis (vmap with a
+    named axis on one device; shard_map over the mesh 'tile' axis across
+    devices);
+  - the cross-tile GroupNorm statistic pooling (`GroupNormParam.summary`,
+    tilevae.py:629) becomes `lax.pmean` over the named tile axes — a real
+    ICI collective on hardware;
+  - the seam-free merge (`crop_valid_region`, tilevae.py:556) is a static
+    crop + reshape.
+
+No task queue, no host round-trips, no 100 GB of host RAM: everything stays
+in HBM and compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from supir_tpu.models.vae import VAEDecoder, VAEEncoder
+
+
+def split_uniform_tiles(x: jnp.ndarray, tile: int, pad: int):
+    """[B, H, W, C] -> tiles [T, B, tile+2p, tile+2p, C] with edge-padded
+    halos; returns (tiles, grid=(gh, gw), padded_size=(Hp, Wp))."""
+    b, h, w, c = x.shape
+    gh, gw = math.ceil(h / tile), math.ceil(w / tile)
+    hp, wp = gh * tile, gw * tile
+    x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    tiles = []
+    for i in range(gh):
+        for j in range(gw):
+            tiles.append(x[:, i * tile : i * tile + tile + 2 * pad,
+                            j * tile : j * tile + tile + 2 * pad])
+    return jnp.stack(tiles, axis=0), (gh, gw), (hp, wp)
+
+
+def merge_valid_tiles(tiles: jnp.ndarray, grid, out_hw, crop: int):
+    """tiles [T, B, th, tw, C] -> [B, H, W, C]: crop `crop` px of halo from
+    each side, lay out on the grid, trim edge padding."""
+    gh, gw = grid
+    t, b, th, tw, c = tiles.shape
+    valid = tiles[:, :, crop : th - crop, crop : tw - crop]
+    vh, vw = valid.shape[2], valid.shape[3]
+    canvas = valid.reshape(gh, gw, b, vh, vw, c)
+    canvas = canvas.transpose(2, 0, 3, 1, 4, 5).reshape(b, gh * vh, gw * vw, c)
+    return canvas[:, : out_hw[0], : out_hw[1]]
+
+
+def _pad_tile_axis(tiles: jnp.ndarray, mult: int):
+    t = tiles.shape[0]
+    padded = (-t) % mult
+    if padded:
+        tiles = jnp.concatenate([tiles, jnp.repeat(tiles[-1:], padded, axis=0)], 0)
+    return tiles, t
+
+
+def _run_tiles(module, params, tiles, mesh: Optional[Mesh]):
+    """Apply `module` (with cross-tile GN axes) over the tile axis."""
+    use_mesh = (
+        mesh is not None
+        and "tile" in mesh.shape
+        and mesh.shape["tile"] > 1
+    )
+
+    def local_fn(p, tl):
+        f = lambda one: module.apply({"params": p}, one)
+        return jax.vmap(f, axis_name="tile_local")(tl)
+
+    if not use_mesh:
+        return local_fn(params, tiles)
+
+    tiles, t_orig = _pad_tile_axis(tiles, mesh.shape["tile"])
+    spec_t = P("tile")
+    out = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), spec_t),
+        out_specs=spec_t,
+        check_vma=False,
+    )(params, tiles)
+    return out[:t_orig]
+
+
+def tiled_encode(
+    vae_cfg,
+    params_encoder,
+    params_quant,
+    x: jnp.ndarray,
+    tile_size: int = 512,
+    pad: int = 32,
+    mesh: Optional[Mesh] = None,
+    dtype=jnp.float32,
+):
+    """Tiled VAE encode -> moments [B, H/f, W/f, 2z].
+
+    tile_size/pad in image pixels; both must be multiples of the VAE
+    downscale factor f.
+    """
+    f = vae_cfg.downscale_factor
+    assert tile_size % f == 0 and pad % f == 0
+    b, h, w, _ = x.shape
+    axes = ("tile_local", "tile") if (mesh and "tile" in getattr(mesh, "shape", {})) else ("tile_local",)
+    enc = VAEEncoder(vae_cfg, norm_axis=axes, dtype=dtype)
+    tiles, grid, (hp, wp) = split_uniform_tiles(x, tile_size, pad)
+    z_tiles = _run_tiles(enc, params_encoder, tiles, mesh)
+    moments = merge_valid_tiles(z_tiles, grid, (hp // f, wp // f), pad // f)
+    moments = moments[:, : h // f, : w // f]
+    # 1x1 quant conv commutes with tiling; apply on the merged map
+    from supir_tpu.models.layers import Conv
+
+    quant = Conv(2 * vae_cfg.embed_dim, 1, dtype=dtype)
+    return quant.apply({"params": params_quant}, moments)
+
+
+def tiled_decode(
+    vae_cfg,
+    params_decoder,
+    params_post_quant,
+    z: jnp.ndarray,
+    tile_size: int = 64,
+    pad: int = 8,
+    mesh: Optional[Mesh] = None,
+    dtype=jnp.float32,
+):
+    """Tiled VAE decode -> image [B, H*f, W*f, 3]. tile_size/pad in latent px."""
+    f = vae_cfg.downscale_factor
+    b, h, w, _ = z.shape
+    from supir_tpu.models.layers import Conv
+
+    post = Conv(vae_cfg.z_channels, 1, dtype=dtype)
+    z = post.apply({"params": params_post_quant}, z)
+
+    axes = ("tile_local", "tile") if (mesh and "tile" in getattr(mesh, "shape", {})) else ("tile_local",)
+    dec = VAEDecoder(vae_cfg, norm_axis=axes, dtype=dtype)
+    tiles, grid, (hp, wp) = split_uniform_tiles(z, tile_size, pad)
+    img_tiles = _run_tiles(dec, params_decoder, tiles, mesh)
+    img = merge_valid_tiles(img_tiles, grid, (hp * f, wp * f), pad * f)
+    return img[:, : h * f, : w * f]

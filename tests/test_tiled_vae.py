@@ -1,0 +1,96 @@
+"""Tiled VAE vs full VAE: plumbing exactness on constant input, closeness
+on natural-ish input, and the sharded (shard_map over 'tile') path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from supir_tpu.config import VAEConfig
+from supir_tpu.models.vae import AutoencoderKL
+from supir_tpu.parallel.mesh import make_mesh
+from supir_tpu.parallel.tiled_vae import (
+    merge_valid_tiles,
+    split_uniform_tiles,
+    tiled_decode,
+    tiled_encode,
+)
+
+CFG = VAEConfig().tiny()
+
+
+@pytest.fixture(scope="module")
+def vae_setup():
+    vae = AutoencoderKL(CFG, with_denoise_encoder=False)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = vae.init(jax.random.PRNGKey(0), x)["params"]
+    return vae, params
+
+
+def test_split_merge_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 80, 3))
+    tiles, grid, (hp, wp) = split_uniform_tiles(x, 32, 8)
+    assert tiles.shape == (grid[0] * grid[1], 2, 48, 48, 3)
+    merged = merge_valid_tiles(tiles, grid, (hp, wp), 8)[:, :96, :80]
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(x), atol=1e-6)
+
+
+def test_tiled_encode_single_tile_exact(vae_setup):
+    """With one tile covering the whole image and zero pad, the tiled path
+    must equal the plain forward bit-for-bit (same convs, same GN stats)."""
+    vae, params = vae_setup
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 64, 64, 3)) * 0.3
+    full = vae.apply({"params": params}, x, method=vae.moments)
+    tiled = tiled_encode(
+        CFG, params["encoder"], params["quant_conv"], x, tile_size=64, pad=0
+    )
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-5)
+
+
+def test_tiled_encode_close_on_smooth_input(vae_setup):
+    vae, params = vae_setup
+    k = jax.random.PRNGKey(2)
+    # smooth input: upsampled low-res noise (natural-image-like locality)
+    base = jax.random.normal(k, (1, 8, 8, 3))
+    x = jax.image.resize(base, (1, 128, 128, 3), "bicubic")
+    full = np.asarray(vae.apply({"params": params}, x, method=vae.moments))
+    tiled = np.asarray(
+        tiled_encode(CFG, params["encoder"], params["quant_conv"], x, tile_size=64, pad=32)
+    )
+    assert tiled.shape == full.shape
+    # NOTE: with RANDOM weights the per-tile mid-attention approximation
+    # (same one the reference makes, tilevae.py task queue) is much worse
+    # than with trained weights; require broad agreement only. The rigorous
+    # plumbing checks are the single-tile-exact and sharded==local tests.
+    corr = np.corrcoef(full.ravel(), tiled.ravel())[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_tiled_decode_runs_and_matches_shape(vae_setup):
+    vae, params = vae_setup
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4)) * 0.2
+    full = np.asarray(vae.apply({"params": params}, z, method=vae.decode))
+    tiled = np.asarray(
+        tiled_decode(CFG, params["decoder"], params["post_quant_conv"], z, tile_size=8, pad=4)
+    )
+    assert tiled.shape == full.shape
+    corr = np.corrcoef(full.ravel(), tiled.ravel())[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_tiled_encode_sharded_matches_single(vae_setup):
+    """shard_map over the 'tile' mesh axis == single-device tiled path."""
+    vae, params = vae_setup
+    mesh = make_mesh((1, 4, 1), ("data", "tile", "model"))
+    x = jax.image.resize(
+        jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 3)), (1, 128, 128, 3), "bicubic"
+    )
+    single = np.asarray(
+        tiled_encode(CFG, params["encoder"], params["quant_conv"], x, tile_size=64, pad=32)
+    )
+    sharded = np.asarray(
+        tiled_encode(
+            CFG, params["encoder"], params["quant_conv"], x, tile_size=64, pad=32, mesh=mesh
+        )
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
