@@ -207,6 +207,128 @@ class SUPIREngine:
 
         return jax.jit(f)
 
+    @functools.lru_cache(maxsize=8)
+    def _tiled_sample_fn(
+        self, num_steps: int, s_noise: float, tile_size: int, tile_stride: int,
+        local_prompts: bool, mesh_key=None,
+    ):
+        from supir_tpu.parallel.tiled_sampler import (
+            make_tiled_denoise,
+            tiled_restore_edm_sample,
+        )
+
+        mesh = self._tiled_mesh if mesh_key is not None else None
+
+        def f(params, noised_z, c, uc, x_center, tables, rng):
+            # conditioning without 'control' (tiles carry their own slices)
+            def denoise_flat(x_flat, sigma_b, cfg_b, ctrl_s, control_flat, ca_flat):
+                bb = x_flat.shape[0]
+                if ca_flat is None:
+                    ca_uc = jnp.broadcast_to(uc["crossattn"], (bb,) + uc["crossattn"].shape[1:])
+                    ca_c = jnp.broadcast_to(c["crossattn"], (bb,) + c["crossattn"].shape[1:])
+                else:
+                    ca_uc = jnp.broadcast_to(uc["crossattn"], (bb,) + uc["crossattn"].shape[1:])
+                    ca_c = ca_flat
+                vec_uc = jnp.broadcast_to(uc["vector"], (bb,) + uc["vector"].shape[1:])
+                vec_c = jnp.broadcast_to(c["vector"], (bb,) + c["vector"].shape[1:])
+                cond2 = {
+                    "crossattn": jnp.concatenate([ca_uc, ca_c], axis=0),
+                    "vector": jnp.concatenate([vec_uc, vec_c], axis=0),
+                    "control": jnp.concatenate([control_flat, control_flat], axis=0),
+                }
+                x2 = jnp.concatenate([x_flat, x_flat], axis=0)
+                s2 = jnp.concatenate([sigma_b, sigma_b], axis=0)
+                den = self.denoiser(
+                    functools.partial(self._network, params), x2, s2, cond2, ctrl_s
+                )
+                d_uc, d_c = jnp.split(den, 2, axis=0)
+                return cfg_combine(d_uc, d_c, cfg_b)
+
+            denoise_tile = make_tiled_denoise(denoise_flat, mesh=mesh)
+            from supir_tpu.parallel.tiled_sampler import _gather_tiles, make_tile_plan
+
+            starts, _, _ = make_tile_plan(
+                noised_z.shape[1], noised_z.shape[2], tile_size, tile_stride
+            )
+            control_tiles = _gather_tiles(c["control"], starts, tile_size)
+            ca_tiles = c.get("crossattn_tiles") if local_prompts else None
+            return tiled_restore_edm_sample(
+                denoise_tile, noised_z, rng, tables,
+                x_center=x_center, control_tiles=control_tiles,
+                tile_size=tile_size, tile_stride=tile_stride,
+                s_noise=s_noise, mesh=mesh, crossattn_tiles=ca_tiles,
+            )
+
+        return jax.jit(f)
+
+    _tiled_mesh = None
+
+    def set_tiled_mesh(self, mesh):
+        """Mesh with a 'tile' axis for sharded tiled diffusion."""
+        self._tiled_mesh = mesh
+
+    def batchify_sample_tiled(
+        self,
+        x: jnp.ndarray,
+        c: Dict[str, jnp.ndarray],
+        uc: Dict[str, jnp.ndarray],
+        num_steps: int = 50,
+        tile_size: int = 128,
+        tile_stride: int = 64,
+        restoration_scale: float = 4.0,
+        s_churn: float = 0.0,
+        s_noise: float = 1.003,
+        cfg_scale: float = 7.5,
+        seed: int = 0,
+        control_scale: float = 1.0,
+        color_fix_type: str = "None",
+        use_linear_cfg: bool = False,
+        use_linear_control_scale: bool = False,
+        cfg_scale_start: float = 1.0,
+        control_scale_start: float = 0.0,
+        z_override: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Tiled RestoreEDM pipeline (reference TiledRestoreEDMSampler,
+        sampling.py:600-660): 4K+ outputs, tiles batched or sharded over
+        the 'tile' mesh axis."""
+        import dataclasses as dc
+
+        cfg = self.cfg
+        scfg = dc.replace(
+            cfg.sampler, num_steps=num_steps, restore_cfg=restoration_scale,
+            s_churn=s_churn, s_noise=s_noise,
+            cfg_scale=cfg_scale_start if use_linear_cfg else cfg_scale,
+            cfg_scale_min=cfg_scale, use_linear_cfg=use_linear_cfg,
+        )
+        sigmas = legacy_ddpm_sigmas(num_steps)
+        tables = S.make_step_tables(
+            sigmas, scfg, control_scale=control_scale,
+            use_linear_control_scale=use_linear_control_scale,
+            control_scale_start=control_scale_start,
+        )
+        rng = jax.random.PRNGKey(seed)
+        rng_noise, rng_sample = jax.random.split(rng)
+
+        _z = z_override if z_override is not None else self.encode_first_stage_with_denoise(x)
+        x_stage1 = self.decode_first_stage(_z)
+        z_stage1 = self.encode_first_stage(x_stage1)
+
+        noised_z = jax.random.normal(rng_noise, _z.shape, jnp.float32)
+        noised_z = noised_z * np.sqrt(1.0 + float(sigmas[0]) ** 2)
+
+        local_prompts = "crossattn_tiles" in c
+        fn = self._tiled_sample_fn(
+            num_steps, s_noise, tile_size, tile_stride, local_prompts,
+            mesh_key=id(self._tiled_mesh) if self._tiled_mesh is not None else None,
+        )
+        samples_z = fn(self.params, noised_z, c, uc, z_stage1, tables, rng_sample)
+        samples = self.decode_first_stage(samples_z)
+        if color_fix_type == "Wavelet":
+            samples = wavelet_reconstruction(samples, x_stage1)
+        elif color_fix_type == "AdaIn":
+            samples = adaptive_instance_normalization(samples, x_stage1)
+        return samples
+
     def batchify_sample(
         self,
         x: jnp.ndarray,

@@ -1,0 +1,194 @@
+"""Tiled diffusion sampling (4K+ outputs) — TPU redesign.
+
+Behavioral contract: `TiledRestoreEDMSampler` (sampling.py:600-660): at every
+sigma step, each sliding-window latent tile is denoised with its own slice
+of the control latent (and optionally its own prompt), then tiles are
+blended back with Gaussian weights.
+
+The reference loops tiles sequentially in Python inside each step. Here:
+  - tile coords are static -> gather/scatter become fixed index ops,
+  - all tiles are denoised as ONE batched network call per step (tile axis
+    folded into batch: CFG 2x and tiles T give a 2T*B batch — exactly what
+    the MXU wants), or sharded over the mesh 'tile' axis via shard_map,
+  - the Gaussian blend is a scatter-add; the weight-sum normalizer is
+    precomputed once (it is step-independent),
+  - the whole sampler is still a single lax.scan over steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from supir_tpu.diffusion.samplers import StepTables
+from supir_tpu.utils.tiling import gaussian_weights, sliding_windows
+
+
+def make_tile_plan(h: int, w: int, tile_size: int, tile_stride: int):
+    coords = sliding_windows(h, w, tile_size, tile_stride)
+    weights = gaussian_weights(tile_size, tile_size)
+    starts = np.asarray([(hi, wi) for (hi, _he, wi, _we) in coords], np.int32)
+    # step-independent blend normalizer
+    count = np.zeros((h, w), np.float32)
+    for (hi, he, wi, we) in coords:
+        count[hi:he, wi:we] += weights
+    return starts, weights, count
+
+
+def _gather_tiles(x, starts, ts):
+    """x [B,H,W,C] -> [T,B,ts,ts,C] with static starts."""
+    return jnp.stack(
+        [jax.lax.dynamic_slice(x, (0, int(hi), int(wi), 0),
+                               (x.shape[0], ts, ts, x.shape[3]))
+         for hi, wi in starts],
+        axis=0,
+    )
+
+
+def _scatter_tiles(tiles, starts, shape, weights):
+    """[T,B,ts,ts,C] weighted scatter-add -> [B,H,W,C]."""
+    out = jnp.zeros(shape, tiles.dtype)
+    w = weights[None, :, :, None]
+    for i, (hi, wi) in enumerate(starts):
+        patch = jax.lax.dynamic_slice(
+            out, (0, int(hi), int(wi), 0),
+            (shape[0], tiles.shape[2], tiles.shape[3], shape[3]),
+        )
+        out = jax.lax.dynamic_update_slice(
+            out, patch + tiles[i] * w, (0, int(hi), int(wi), 0)
+        )
+    return out
+
+
+def tiled_restore_edm_sample(
+    denoise_tile: Callable,
+    x: jnp.ndarray,
+    rng: jax.Array,
+    tables: StepTables,
+    x_center: jnp.ndarray,
+    control_tiles: jnp.ndarray,
+    tile_size: int,
+    tile_stride: int,
+    s_noise: float = 1.003,
+    mesh: Optional[Mesh] = None,
+    crossattn_tiles: Optional[jnp.ndarray] = None,
+):
+    """RestoreEDM over sliding-window tiles.
+
+    denoise_tile(x_tiles [T,B,ts,ts,C], sigma[B], cfg[B], ctrl_scale,
+                 control_tiles [T,B,ts,ts,C], crossattn_tiles or None)
+        -> denoised tiles [T,B,ts,ts,C]
+    control_tiles: LQ latent sliced per tile (computed once by the caller).
+    crossattn_tiles: optional per-tile text conditioning [T, ...] for the
+    local-prompt mode of the tiled demo.
+    """
+    b, h, w, c = x.shape
+    starts, weights, count = make_tile_plan(h, w, tile_size, tile_stride)
+    ts = tile_size
+    n = tables.num_steps
+    keys = jax.random.split(rng, n)
+    count_j = jnp.asarray(count)[None, :, :, None]
+    weights_j = jnp.asarray(weights)
+
+    x_center_tiles = _gather_tiles(x_center, starts, ts)
+
+    xs = (
+        jnp.asarray(tables.sigma),
+        jnp.asarray(tables.sigma_hat),
+        jnp.asarray(tables.next_sigma),
+        jnp.asarray(tables.churn_std),
+        jnp.asarray(tables.cfg_scale),
+        jnp.asarray(tables.control_scale),
+        jnp.asarray(tables.restore_weight),
+        keys,
+    )
+
+    def step(x, scan_in):
+        sigma, sigma_hat, next_sigma, churn_std, cfg_s, ctrl_s, rw, key = scan_in
+        eps = jax.random.normal(key, x.shape, x.dtype) * s_noise
+        x_churned = x + eps * churn_std
+
+        x_tiles = _gather_tiles(x_churned, starts, ts)
+        sig_b = jnp.full((b,), sigma_hat)
+        cfg_b = jnp.full((b,), cfg_s)
+        denoised = denoise_tile(
+            x_tiles, sig_b, cfg_b, ctrl_s, control_tiles, crossattn_tiles
+        )
+        denoised = denoised - (denoised - x_center_tiles) * rw
+        d = (x_tiles - denoised) / sigma_hat
+        stepped = x_tiles + d * (next_sigma - sigma_hat)
+
+        blended = _scatter_tiles(stepped, starts, x.shape, weights_j) / count_j
+        return blended, None
+
+    x, _ = jax.lax.scan(step, x, xs)
+    return x
+
+
+def make_tiled_denoise(
+    denoise_flat: Callable,
+    mesh: Optional[Mesh] = None,
+):
+    """Lift a per-batch denoiser into a tile-axis denoiser.
+
+    denoise_flat(x [B',h,w,C], sigma [B'], cfg [B'], ctrl_s, control [B',...],
+                 crossattn or None) -> [B',h,w,C]
+
+    Without a mesh the tile axis is folded into the batch (one big MXU
+    call); with a mesh carrying a 'tile' axis the fold happens per-shard
+    under shard_map.
+    """
+
+    def folded(x_tiles, sigma, cfg, ctrl_s, control_tiles, crossattn_tiles):
+        t, b = x_tiles.shape[0], x_tiles.shape[1]
+        flat = x_tiles.reshape((t * b,) + x_tiles.shape[2:])
+        ctrl = control_tiles.reshape((t * b,) + control_tiles.shape[2:])
+        sig = jnp.tile(sigma, t)
+        cfg_t = jnp.tile(cfg, t)
+        ca = None
+        if crossattn_tiles is not None:
+            # [T, B, 77, D] -> [T*B, 77, D]
+            ca = crossattn_tiles.reshape((t * b,) + crossattn_tiles.shape[2:])
+        out = denoise_flat(flat, sig, cfg_t, ctrl_s, ctrl, ca)
+        return out.reshape(x_tiles.shape)
+
+    if mesh is None or "tile" not in getattr(mesh, "shape", {}) or mesh.shape["tile"] <= 1:
+        return folded
+
+    def sharded(x_tiles, sigma, cfg, ctrl_s, control_tiles, crossattn_tiles):
+        t = x_tiles.shape[0]
+        nshard = mesh.shape["tile"]
+        pad = (-t) % nshard
+        if pad:
+            x_tiles = jnp.concatenate([x_tiles, x_tiles[-pad:]], 0)
+            control_tiles = jnp.concatenate([control_tiles, control_tiles[-pad:]], 0)
+            if crossattn_tiles is not None:
+                crossattn_tiles = jnp.concatenate(
+                    [crossattn_tiles, crossattn_tiles[-pad:]], 0
+                )
+        sig_a = jnp.asarray(sigma)
+        cfg_a = jnp.asarray(cfg)
+        ctrl_a = jnp.asarray(ctrl_s, jnp.float32).reshape(())
+        if crossattn_tiles is None:
+            f = lambda xt, ct, s_, c_, cs_: folded(xt, s_, c_, cs_, ct, None)
+            out = shard_map(
+                f, mesh=mesh,
+                in_specs=(P("tile"), P("tile"), P(), P(), P()),
+                out_specs=P("tile"), check_vma=False,
+            )(x_tiles, control_tiles, sig_a, cfg_a, ctrl_a)
+        else:
+            f = lambda xt, ct, ca, s_, c_, cs_: folded(xt, s_, c_, cs_, ct, ca)
+            out = shard_map(
+                f, mesh=mesh,
+                in_specs=(P("tile"), P("tile"), P("tile"), P(), P(), P()),
+                out_specs=P("tile"), check_vma=False,
+            )(x_tiles, control_tiles, crossattn_tiles, sig_a, cfg_a, ctrl_a)
+        return out[:t]
+
+    return sharded
