@@ -201,3 +201,69 @@ def dtype_of(name: str):
     import jax.numpy as jnp
 
     return {"fp32": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.float16}[name]
+
+
+# ---------------------------------------------------------------------------
+# YAML surface (options/*.yaml)
+
+
+def _merge(base: dict, over: dict) -> dict:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_yaml_config(path: str):
+    """Load an options/*.yaml into (SUPIRConfig, extras dict).
+
+    Supports a simple `include:` key for layering (tiled / lightning
+    variants extend the base file). Extras carry checkpoint paths,
+    default_setting, and tile_vae sizes.
+    """
+    import os
+
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if "include" in raw:
+        base_path = os.path.join(os.path.dirname(path), raw.pop("include"))
+        with open(base_path) as f:
+            base = yaml.safe_load(f)
+        base.pop("include", None)
+        raw = _merge(base, raw)
+
+    m = raw.get("model", {})
+
+    def build(cls, key, **extra):
+        kwargs = dict(m.get(key, {}))
+        kwargs.update(extra)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in kwargs.items()
+            if k in fields
+        }
+        return cls(**kwargs)
+
+    unet = build(UNetConfig, "unet")
+    cfg = SUPIRConfig(
+        unet=unet,
+        vae=build(VAEConfig, "vae"),
+        control=build(ControlConfig, "control"),
+        sampler=build(SamplerConfig, "sampler"),
+        scale_factor=m.get("scale_factor", 0.13025),
+        ae_dtype=m.get("ae_dtype", "bf16"),
+        diffusion_dtype=m.get("diffusion_dtype", "bf16"),
+        p_p=raw.get("p_p", SUPIRConfig.p_p),
+        n_p=raw.get("n_p", SUPIRConfig.n_p),
+    )
+    extras = {
+        k: raw.get(k)
+        for k in ("SDXL_CKPT", "SUPIR_CKPT_Q", "SUPIR_CKPT_F", "default_setting", "tile_vae")
+    }
+    return cfg, extras

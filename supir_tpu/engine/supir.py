@@ -110,14 +110,60 @@ class SUPIREngine:
 
         return jax.jit(f)
 
+    # tiled-VAE mode (reference init_tile_vae, SUPIR_model.py:138-151)
+    _tile_vae = None
+
+    def init_tile_vae(self, encoder_tile_size: int = 512, decoder_tile_size: int = 64):
+        """Switch first-stage encode/decode to the tiled (sharded) path.
+        encoder_tile_size in image px, decoder_tile_size in latent px."""
+        self._tile_vae = (encoder_tile_size, decoder_tile_size)
+
+    @functools.lru_cache(maxsize=8)
+    def _tiled_vae_fns(self, enc_tile: int, dec_tile: int, mesh_key=None):
+        from supir_tpu.parallel.tiled_vae import tiled_decode, tiled_encode
+
+        mesh = self._tiled_mesh
+        cfg = self.cfg
+
+        def enc(params, x, use_denoise):
+            enc_params = params["vae"]["denoise_encoder" if use_denoise else "encoder"]
+            moments = tiled_encode(
+                cfg.vae, enc_params, params["vae"]["quant_conv"], x,
+                tile_size=enc_tile, pad=32, mesh=mesh,
+            )
+            z = DiagonalGaussian(moments).mode()
+            return (z * cfg.scale_factor).astype(jnp.float32)
+
+        def dec(params, z):
+            out = tiled_decode(
+                cfg.vae, params["vae"]["decoder"], params["vae"]["post_quant_conv"],
+                z / cfg.scale_factor, tile_size=dec_tile, pad=8, mesh=mesh,
+            )
+            return out.astype(jnp.float32)
+
+        return (
+            jax.jit(functools.partial(enc, use_denoise=True)),
+            jax.jit(functools.partial(enc, use_denoise=False)),
+            jax.jit(dec),
+        )
+
     def encode_first_stage_with_denoise(self, x):
         """LQ image [B,H,W,3] in [-1,1] -> stage-1 cleaned latent (mode)."""
+        if self._tile_vae:
+            f, _, _ = self._tiled_vae_fns(*self._tile_vae)
+            return f(self.params, x)
         return self._encode_denoise_jit(self.params, x)
 
     def encode_first_stage(self, x):
+        if self._tile_vae:
+            _, f, _ = self._tiled_vae_fns(*self._tile_vae)
+            return f(self.params, x)
         return self._encode_jit(self.params, x)
 
     def decode_first_stage(self, z):
+        if self._tile_vae:
+            _, _, f = self._tiled_vae_fns(*self._tile_vae)
+            return f(self.params, z)
         return self._decode_jit(self.params, z)
 
     def batchify_denoise(self, x):
