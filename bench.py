@@ -52,8 +52,10 @@ def main():
         steps = args.steps
         label = f"sec/image {size}px {steps} EDM steps (full SDXL width, 1 chip)"
 
-    engine = create_engine(cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64)
-    engine.params = _cast_bf16(engine.params)
+    engine = create_engine(
+        cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
+        param_dtype=jnp.bfloat16,
+    )
 
     b = 1
     rng = jax.random.PRNGKey(1)

