@@ -1,0 +1,106 @@
+"""Serving control plane: registry policies, heartbeat expiry, and a live
+controller+worker roundtrip over HTTP (the reference's test_message.py
+smoke, automated)."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from supir_tpu.serve.controller import (
+    CONTROLLER_HEART_BEAT_EXPIRATION,
+    Registry,
+    serve_controller,
+)
+from supir_tpu.serve.worker import ModelWorker, serve_worker
+
+
+def test_registry_register_heartbeat_expire():
+    reg = Registry()
+    assert reg.register("http://w1", ["supir"])
+    assert reg.heartbeat("http://w1", 3)
+    assert not reg.heartbeat("http://nope", 0)  # unknown -> must re-register
+    assert reg.list_models() == ["supir"]
+    # simulate expiry
+    reg.workers["http://w1"].last_heart_beat = (
+        time.time() - CONTROLLER_HEART_BEAT_EXPIRATION - 1
+    )
+    dead = reg.remove_expired()
+    assert dead == ["http://w1"]
+    assert reg.list_models() == []
+
+
+def test_shortest_queue_dispatch():
+    reg = Registry("shortest_queue")
+    reg.register("http://a", ["supir"], speed=1.0, queue_length=5)
+    reg.register("http://b", ["supir"], speed=1.0, queue_length=1)
+    assert reg.get_worker_address("supir") == "http://b"
+    # dispatch bumps the chosen queue
+    assert reg.workers["http://b"].queue_length == 2
+    assert reg.get_worker_address("missing-model") == ""
+
+
+def test_lottery_dispatch_respects_speed():
+    reg = Registry("lottery")
+    reg.register("http://fast", ["supir"], speed=100.0)
+    reg.register("http://slow", ["supir"], speed=0.001)
+    picks = [reg.get_worker_address("supir") for _ in range(50)]
+    assert picks.count("http://fast") >= 48
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture
+def live_cluster():
+    chttpd, registry = serve_controller("127.0.0.1", 0)
+    cport = chttpd.server_address[1]
+    caddr = f"http://127.0.0.1:{cport}"
+    t1 = threading.Thread(target=chttpd.serve_forever, daemon=True)
+    t1.start()
+
+    def work(params):
+        return {"text": f"echo:{params.get('prompt','')}", "error_code": 0}
+
+    worker = ModelWorker(caddr, "placeholder", work, register=False)
+    whttpd = serve_worker(worker, "127.0.0.1", 0)
+    wport = whttpd.server_address[1]
+    worker.worker_addr = f"http://127.0.0.1:{wport}"
+    worker.register_to_controller()
+    t2 = threading.Thread(target=whttpd.serve_forever, daemon=True)
+    t2.start()
+    yield caddr, worker
+    chttpd.shutdown()
+    whttpd.shutdown()
+    worker.stop()
+
+
+def test_live_roundtrip(live_cluster):
+    caddr, worker = live_cluster
+    models = _post(caddr + "/list_models", {})
+    assert models["models"] == ["supir"]
+    out = _post(
+        caddr + "/worker_generate_stream", {"model": "supir", "prompt": "hello"}
+    )
+    assert out["error_code"] == 0
+    assert out["text"] == "echo:hello"
+
+
+def test_worker_error_isolation(live_cluster):
+    caddr, worker = live_cluster
+
+    def bad(params):
+        raise ValueError("boom")
+
+    worker.work_fn = bad
+    out = _post(caddr + "/worker_generate_stream", {"model": "supir"})
+    assert out["error_code"] == 2
+    assert "boom" in out.get("error", "")
