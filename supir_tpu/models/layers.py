@@ -41,28 +41,64 @@ class GroupNorm32(nn.Module):
 
     eps defaults to the UNet convention (1e-5); the VAE uses 1e-6.
 
+    `fuse_silu`: apply SiLU inside the norm. On TPU (and without a
+    collective axis) this lowers to the fused Pallas kernel
+    (supir_tpu.ops.groupnorm) — one VMEM-resident two-pass kernel instead
+    of XLA's fp32-upcast norm + separate activation (~1.6x faster at SDXL
+    widths).
+
     `axis_name`: when set, normalization statistics are pooled across that
-    named axis (vmap/shard_map) — this is the TPU-native form of the
-    reference tiled-VAE's cross-tile GroupNorm pooling
-    (SUPIR/utils/tilevae.py:599-648): per-tile mean/var become a collective
-    pmean over the 'tile' axis.
+    named axis (vmap/shard_map) — the TPU-native form of the reference
+    tiled-VAE's cross-tile GroupNorm pooling (SUPIR/utils/tilevae.py:
+    599-648): per-tile mean/var become a collective pmean over the 'tile'
+    axis.
     """
 
     eps: float = 1e-5
     num_groups: int = 32
-    axis_name: str | None = None
+    axis_name: Any = None
+    fuse_silu: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        out = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.eps,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            axis_name=self.axis_name,
-        )(x.astype(jnp.float32))
-        return out.astype(self.dtype)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        use_pallas = (
+            self.axis_name is None
+            and jax.default_backend() == "tpu"
+            and not self.is_initializing()
+            and c % self.num_groups == 0
+        )
+        if use_pallas:
+            from supir_tpu.ops.groupnorm import group_norm_silu
+
+            out = group_norm_silu(
+                x, scale, bias, groups=self.num_groups, eps=self.eps,
+                apply_silu=self.fuse_silu,
+            )
+            return out.astype(self.dtype)
+
+        # fallback: fp32 GN with optional collective stat pooling
+        g = self.num_groups
+        cg = c // g
+        xf = x.astype(jnp.float32)
+        b = xf.shape[0]
+        xg = xf.reshape(b, -1, g, cg)
+        mean = jnp.mean(xg, axis=(1, 3))
+        mean2 = jnp.mean(xg * xg, axis=(1, 3))
+        if self.axis_name is not None:
+            mean = jax.lax.pmean(mean, self.axis_name)
+            mean2 = jax.lax.pmean(mean2, self.axis_name)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + self.eps)
+        y = (xg - mean[:, None, :, None]) * rstd[:, None, :, None]
+        y = y.reshape(xf.shape) * scale + bias
+        if self.fuse_silu:
+            y = nn.silu(y)
+        return y.astype(self.dtype)
 
 
 class Conv(nn.Module):

@@ -44,15 +44,13 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
-        h = GroupNorm32(dtype=self.dtype, name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(fuse_silu=True, dtype=self.dtype, name="in_norm")(x)
         h = Conv(self.out_channels, 3, dtype=self.dtype, name="in_conv")(h)
         emb_out = Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
             nn.silu(emb)
         )
         h = h + emb_out[:, None, None, :]
-        h = GroupNorm32(dtype=self.dtype, name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(fuse_silu=True, dtype=self.dtype, name="out_norm")(h)
         h = Conv(self.out_channels, 3, zero_init=True, dtype=self.dtype, name="out_conv")(h)
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, 1, dtype=self.dtype, name="skip")(x)
@@ -225,8 +223,7 @@ class OutputHead(nn.Module):
 
     @nn.compact
     def __call__(self, h):
-        h = GroupNorm32(dtype=self.dtype, name="norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(fuse_silu=True, dtype=self.dtype, name="norm")(h)
         return Conv(self.out_channels, 3, zero_init=True, dtype=self.dtype, name="conv")(h)
 
 

@@ -35,11 +35,9 @@ class VAEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm1")(x)
         h = Conv(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm2")(h)
         h = Conv(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, 1, dtype=self.dtype, name="nin_shortcut")(x)
@@ -91,8 +89,7 @@ class VAEEncoder(nn.Module):
         h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(norm_axis=self.norm_axis, dtype=self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm_out")(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return Conv(out_ch, 3, dtype=self.dtype, name="conv_out")(h)
 
@@ -124,8 +121,7 @@ class VAEDecoder(nn.Module):
                 h = h[:, :, None, :, None, :]
                 h = jnp.broadcast_to(h, (n, hh, 2, ww, 2, cc)).reshape(n, 2 * hh, 2 * ww, cc)
                 h = Conv(ch, 3, dtype=self.dtype, name=f"up_{level}_upsample")(h)
-        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm_out")(h)
         return Conv(cfg.out_channels, 3, dtype=self.dtype, name="conv_out")(h)
 
 

@@ -1,0 +1,127 @@
+"""Fused GroupNorm(32) + SiLU Pallas kernel.
+
+The GN->SiLU prologue opens every ResBlock / VAE block (reference
+GroupNorm32 + SiLU, sgm/modules/diffusionmodules/util.py:258-273). It is
+HBM-bandwidth-bound; the fused kernel does the canonical two passes
+(stats, then normalize+activate) with blocks resident in VMEM and the
+gamma*(x-mu)*rsqrt+beta+silu arithmetic fused into the second read.
+
+Layout notes: channel groups are NOT lane-aligned for SDXL widths
+(C=320, G=32 -> 10 channels/group), so the per-group reduction is done as
+a matmul with a one-hot [C, G] group matrix (MXU) instead of a reshape
+(which Mosaic cannot lay out). Grid is (B, 2, n_row_blocks): phase 0
+accumulates per-group sum/sumsq into VMEM scratch, phase 1 re-reads the
+same blocks and writes silu(gn(x)); the sequential minor grid on TPU
+carries the scratch across phases.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, gmat_ref, o_ref, acc_ref, *,
+                    groups, eps, rows_total, block_rows, apply_silu, cg):
+    phase = pl.program_id(1)
+    rb = pl.program_id(2)
+    c = x_ref.shape[-1]
+
+    row0 = rb * block_rows
+    rows_here = rows_total - row0
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, c), 0)
+    valid = row_ids < rows_here
+
+    @pl.when((phase == 0) & (rb == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(phase == 0)
+    def _():
+        x = jnp.where(valid, x_ref[0].astype(jnp.float32), 0.0)
+        sum_c = jnp.sum(x, axis=0, keepdims=True)          # [1, C]
+        sum2_c = jnp.sum(x * x, axis=0, keepdims=True)     # [1, C]
+        gm = gmat_ref[:]                                   # [C, G]
+        s = jnp.dot(sum_c, gm, preferred_element_type=jnp.float32)   # [1, G]
+        s2 = jnp.dot(sum2_c, gm, preferred_element_type=jnp.float32)
+        acc_ref[0:1, : s.shape[1]] += s
+        acc_ref[1:2, : s.shape[1]] += s2
+
+    @pl.when(phase == 1)
+    def _():
+        g = gmat_ref.shape[-1]
+        n = jnp.float32(rows_total * cg)
+        mean_g = acc_ref[0:1, :g] / n                      # [1, G]
+        var_g = acc_ref[1:2, :g] / n - mean_g * mean_g
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        gm_t = gmat_ref[:]                                  # [C, G]
+        # expand group stats back to channels: [1,G] @ [G,C] via dot with
+        # transpose expressed as dot_general on gm [C, G]
+        mean_c = jax.lax.dot_general(
+            mean_g, gm_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, C]
+        rstd_c = jax.lax.dot_general(
+            rstd_g, gm_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        x = x_ref[0].astype(jnp.float32)
+        y = (x - mean_c) * rstd_c
+        y = y * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("groups", "eps", "apply_silu", "block_rows", "interpret")
+)
+def group_norm_silu(
+    x, gamma, beta, groups: int = 32, eps: float = 1e-5,
+    apply_silu: bool = True, block_rows: int = 512, interpret: bool | None = None,
+):
+    """x [B, H, W, C] (or [B, N, C]); returns silu(group_norm(x)) in x.dtype."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    b = x.shape[0]
+    c = x.shape[-1]
+    assert c % groups == 0
+    cg = c // groups
+    rows = int(np.prod(x.shape[1:-1]))
+    xr = x.reshape(b, rows, c)
+    block_rows = min(block_rows, max(8, rows))
+    pad = (-rows) % block_rows
+    if pad:
+        xr = jnp.pad(xr, ((0, 0), (0, pad), (0, 0)))
+    n_rb = xr.shape[1] // block_rows
+
+    group_ids = np.repeat(np.arange(groups), cg)
+    gmat = jnp.asarray(np.eye(groups, dtype=np.float32)[group_ids])  # [C, G]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_silu_kernel, groups=groups, eps=eps, rows_total=rows,
+            block_rows=block_rows, apply_silu=apply_silu, cg=cg,
+        ),
+        grid=(b, 2, n_rb),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, c), lambda i, p, r: (i, r, 0)),
+            pl.BlockSpec((1, c), lambda i, p, r: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, p, r: (0, 0)),
+            pl.BlockSpec((c, groups), lambda i, p, r: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, c), lambda i, p, r: (i, r, 0)),
+        out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, max(groups, 128)), jnp.float32)],
+        interpret=interpret,
+    )(xr, gamma.reshape(1, c), beta.reshape(1, c), gmat)
+
+    if pad:
+        out = out[:, :rows]
+    return out.reshape(orig_shape)

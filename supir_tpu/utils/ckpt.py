@@ -65,10 +65,10 @@ def _conv(tk: str, fp: Tuple[str, ...]) -> List[Rule]:
     ]
 
 
-def _norm(tk: str, fp: Tuple[str, ...], kind="GroupNorm_0") -> List[Rule]:
+def _norm(tk: str, fp: Tuple[str, ...]) -> List[Rule]:
     return [
-        (f"{tk}.weight", fp + (kind, "scale"), None),
-        (f"{tk}.bias", fp + (kind, "bias"), None),
+        (f"{tk}.weight", fp + ("scale",), None),
+        (f"{tk}.bias", fp + ("bias",), None),
     ]
 
 
