@@ -72,12 +72,12 @@ def generator_loss(
         rec = rec + cfg.perceptual_weight * jnp.mean(perceptual)
     kl = kl_regularizer(mean, logvar)
     g = vanilla_g_loss(disc_logits_fake)
-    disc_on = (step >= cfg.disc_start).astype(jnp.float32)
+    disc_on = jnp.asarray(step >= cfg.disc_start, jnp.float32)
     return rec + cfg.kl_weight * kl + cfg.disc_weight * disc_on * g, {
         "rec": rec, "kl": kl, "g": g,
     }
 
 
 def discriminator_loss(logits_real, logits_fake, step, cfg: AELossConfig):
-    disc_on = (step >= cfg.disc_start).astype(jnp.float32)
+    disc_on = jnp.asarray(step >= cfg.disc_start, jnp.float32)
     return disc_on * hinge_d_loss(logits_real, logits_fake)
