@@ -198,6 +198,46 @@ class SUPIREngine:
         uc["control"] = z
         return c, uc
 
+    def prepare_condition_tiled(
+        self,
+        z: jnp.ndarray,
+        tokens_l_tiles: jnp.ndarray,
+        tokens_bigg_tiles: jnp.ndarray,
+        tokens_l_uc: jnp.ndarray,
+        tokens_bigg_uc: jnp.ndarray,
+    ):
+        """Per-tile local prompts for tiled sampling (reference
+        SUPIR_model.py:167-178 + gradio_demo_tiled.py): tokens_*_tiles are
+        [T, 77]; the uncond is shared. Returns (c, uc) where c carries
+        'crossattn_tiles' [T, 1, 77, D] consumed by batchify_sample_tiled.
+        Supports batch size 1, like the reference."""
+        assert z.shape[0] == 1, "local prompts support batch=1 (reference parity)"
+        t = tokens_l_tiles.shape[0]
+        c, uc = self.prepare_condition(
+            z, tokens_l_tiles[:1], tokens_bigg_tiles[:1], tokens_l_uc, tokens_bigg_uc
+        )
+        size = jnp.full((t, 2), 1024.0)
+        crop = jnp.zeros((t, 2))
+        out = self.conditioner.apply(
+            {"params": self.params["conditioner"]},
+            tokens_l_tiles, tokens_bigg_tiles, size, crop, size,
+        )
+        c["crossattn_tiles"] = out["crossattn"].astype(jnp.float32)[:, None]
+        return c, uc
+
+    def shard_for_inference(self, mesh):
+        """Multi-chip inference: FSDP/TP-shard params over the mesh 'model'
+        axis and let GSPMD insert the collectives. The reference's
+        equivalent 'parallelism' was pinning SUPIR and LLaVA to two
+        separate GPUs (test.py:10-17)."""
+        from supir_tpu.parallel.sharding import fsdp_param_shardings
+
+        self.params = jax.device_put(
+            self.params, fsdp_param_shardings(self.params, mesh)
+        )
+        self.set_tiled_mesh(mesh if "tile" in mesh.shape else None)
+        return self
+
     # -------------------------------------------------------------- sampling
 
     def _network(self, params, x, t, cond, control_scale):

@@ -131,6 +131,79 @@ def tiled_restore_edm_sample(
     return x
 
 
+def tiled_restore_dpmpp2m_sample(
+    denoise_tile: Callable,
+    x: jnp.ndarray,
+    rng: jax.Array,
+    tables: StepTables,
+    control_tiles: jnp.ndarray,
+    tile_size: int,
+    tile_stride: int,
+    eta: float = 1.0,
+    s_noise: float = 1.003,
+    crossattn_tiles: Optional[jnp.ndarray] = None,
+):
+    """Tiled DPM++(2M) SDE (reference TiledRestoreDPMPP2MSampler,
+    sampling.py:663-730): per-step tile denoise + Gaussian blend of BOTH
+    the state and the old_denoised carry."""
+    b, h, w, c = x.shape
+    starts, weights, count = make_tile_plan(h, w, tile_size, tile_stride)
+    ts = tile_size
+    n = tables.num_steps
+    keys = jax.random.split(rng, n)
+    count_j = jnp.asarray(count)[None, :, :, None]
+    weights_j = jnp.asarray(weights)
+
+    sig = jnp.asarray(tables.sigma)
+    prev_sigma = jnp.concatenate([jnp.ones((1,), sig.dtype), sig[:-1]])
+    xs = (
+        jnp.asarray(np.arange(n, dtype=np.int32)),
+        prev_sigma,
+        sig,
+        jnp.asarray(tables.next_sigma),
+        jnp.asarray(tables.cfg_scale),
+        jnp.asarray(tables.control_scale),
+        keys,
+    )
+
+    def step(carry, scan_in):
+        x, old_denoised = carry
+        i, p_sigma, sigma, next_sigma, cfg_s, ctrl_s, key = scan_in
+        x_tiles = _gather_tiles(x, starts, ts)
+        old_tiles = _gather_tiles(old_denoised, starts, ts)
+        sig_b = jnp.full((b,), sigma)
+        cfg_b = jnp.full((b,), cfg_s)
+        denoised = denoise_tile(
+            x_tiles, sig_b, cfg_b, ctrl_s, control_tiles, crossattn_tiles
+        )
+
+        t = -jnp.log(sigma)
+        t_next = -jnp.log(jnp.maximum(next_sigma, 1e-20))
+        hstep = t_next - t
+        eta_h = eta * hstep
+        mult1 = (next_sigma / sigma) * jnp.exp(-eta_h)
+        mult2 = jnp.expm1(-hstep - eta_h)
+        x_standard = mult1 * x_tiles - mult2 * denoised
+        h_last = t - (-jnp.log(p_sigma))
+        r = h_last / hstep
+        denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_tiles
+        x_advanced = mult1 * x_tiles - mult2 * denoised_d
+        use_adv = (i > 0) & (next_sigma > 1e-14)
+        stepped = jnp.where(use_adv, x_advanced, x_standard)
+        if eta > 0:
+            eps = jax.random.normal(key, x.shape, x.dtype)
+            eps_tiles = _gather_tiles(eps, starts, ts)
+            std = next_sigma * jnp.sqrt(-jnp.expm1(-2.0 * eta_h)) * s_noise
+            stepped = jnp.where(next_sigma > 1e-14, stepped + eps_tiles * std, stepped)
+
+        x_new = _scatter_tiles(stepped, starts, x.shape, weights_j) / count_j
+        old_new = _scatter_tiles(denoised, starts, x.shape, weights_j) / count_j
+        return (x_new, old_new), None
+
+    (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), xs)
+    return x
+
+
 def make_tiled_denoise(
     denoise_flat: Callable,
     mesh: Optional[Mesh] = None,
