@@ -41,11 +41,10 @@ class GroupNorm32(nn.Module):
 
     eps defaults to the UNet convention (1e-5); the VAE uses 1e-6.
 
-    `fuse_silu`: apply SiLU inside the norm. On TPU (and without a
-    collective axis) this lowers to the fused Pallas kernel
-    (supir_tpu.ops.groupnorm) — one VMEM-resident two-pass kernel instead
-    of XLA's fp32-upcast norm + separate activation (~1.6x faster at SDXL
-    widths).
+    `fuse_silu`: apply SiLU inside the norm (lets XLA fuse the pair; can
+    optionally lower to the Pallas kernel in supir_tpu.ops.groupnorm via
+    `enable_pallas_gn` — measured faster standalone but slower inside the
+    full UNet where it blocks XLA fusion, so it is off by default).
 
     `axis_name`: when set, normalization statistics are pooled across that
     named axis (vmap/shard_map) — the TPU-native form of the reference
@@ -66,8 +65,11 @@ class GroupNorm32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
+        from supir_tpu.ops import groupnorm as gn_ops
+
         use_pallas = (
-            self.axis_name is None
+            gn_ops.PALLAS_GN_ENABLED
+            and self.axis_name is None
             and jax.default_backend() == "tpu"
             and not self.is_initializing()
             and c % self.num_groups == 0

@@ -25,6 +25,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Measured on v5e: the fused kernel wins 1.65x as a standalone op, but
+# inside the full UNet it LOSES (11.3 -> 14.0 s/image) — the custom call
+# breaks XLA's fusion of the norm chain into neighboring convs, and every
+# kernel variant adds remote-compile latency. Hence opt-in only.
+PALLAS_GN_ENABLED = False
+
+
+def enable_pallas_gn(on: bool = True):
+    global PALLAS_GN_ENABLED
+    PALLAS_GN_ENABLED = on
+
 
 def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, gmat_ref, o_ref, acc_ref, *,
                     groups, eps, rows_total, block_rows, apply_silu, cg):
