@@ -156,7 +156,8 @@ class DemoServer:
         img = self._decode_image(params)
         preset = PRESETS.get(params.get("preset", "Quality"), PRESETS["Quality"])
         arr, h0, w0 = pil_to_array(
-            img, upscale=float(params.get("upscale", 1.0)), min_size=1024
+            img, upscale=float(params.get("upscale", 1.0)),
+            min_size=int(params.get("min_size", 1024)),
         )
         x = jnp.asarray(arr)[None]
         z = self.engine.encode_first_stage_with_denoise(x)

@@ -1,0 +1,136 @@
+"""Captioner (LLaVA-style) training scaffold.
+
+Behavioral contract: `llava/train/train.py` + `llava_trainer.py` — causal-LM
+cross-entropy on conversation data with image-patch splicing, DeepSpeed
+ZeRO-3/FSDP sharding, selective mm-projector-only tuning
+(`--tune_mm_mlp_adapter`, train.py:133-142 / llava_trainer.py:150-169),
+modality-grouped length sampler (see captioner/data.py).
+
+TPU re-expression: FSDP = NamedSharding over Mesh('data','model') (the
+same GSPMD pattern as engine/training.py); the trainable subset is a
+pytree filter; batches come from `data.rank_batches`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from supir_tpu.captioner.agent import CaptionerAgent
+from supir_tpu.parallel.sharding import batch_sharding, fsdp_param_shardings, replicated
+
+IGNORE_INDEX = -100
+
+
+def causal_lm_loss(logits, labels):
+    """Next-token CE, IGNORE_INDEX masked (llava preprocess convention:
+    non-assistant tokens are masked out, train.py:302-624)."""
+    logits = logits[:, :-1]
+    targets = labels[:, 1:]
+    mask = targets != IGNORE_INDEX
+    safe = jnp.where(mask, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+class CaptionerTrainer:
+    """Sharded trainer; mode='full' | 'projector' (mm-adapter only)."""
+
+    def __init__(
+        self,
+        agent: CaptionerAgent,
+        mesh: Mesh,
+        learning_rate: float = 2e-5,
+        mode: str = "full",
+    ):
+        assert mode in ("full", "projector")
+        self.agent = agent
+        self.mesh = mesh
+        self.mode = mode
+        self.tx = optax.adamw(learning_rate)
+
+    def trainable_of(self, params):
+        if self.mode == "projector":
+            return {"projector": params["projector"]}
+        return {"projector": params["projector"], "llama": params["llama"]}
+
+    def init_state(self, params):
+        trainable = self.trainable_of(params)
+        return {
+            "params": params,
+            "opt": self.tx.init(trainable),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def shard_state(self, state):
+        sh = {
+            "params": fsdp_param_shardings(state["params"], self.mesh),
+            "opt": jax.tree_util.tree_map(
+                lambda x: (
+                    fsdp_param_shardings(x, self.mesh)
+                    if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0
+                    else replicated(self.mesh)
+                ),
+                state["opt"],
+                is_leaf=lambda x: hasattr(x, "shape"),
+            ),
+            "step": replicated(self.mesh),
+        }
+        return jax.device_put(state, sh)
+
+    @functools.cached_property
+    def train_step(self):
+        agent = self.agent
+        llama = agent.llama
+        projector = agent.projector
+        mode = self.mode
+
+        def forward(params, image_feats, pre_embeds, post_embeds, labels):
+            """image_feats: raw vision patch features [B, P, Dv] (vision
+            tower is always frozen, like the reference); pre/post are token
+            embeddings around the image splice."""
+            img_emb = projector.apply({"params": params["projector"]}, image_feats)
+            embeds = jnp.concatenate([pre_embeds, img_emb, post_embeds], axis=1)
+            pos = jnp.broadcast_to(
+                jnp.arange(embeds.shape[1]), embeds.shape[:2]
+            )
+            logits, _ = llama.apply({"params": params["llama"]}, embeds, pos)
+            return causal_lm_loss(logits, labels)
+
+        def loss_fn(trainable, frozen, batch):
+            params = {**frozen, **trainable}
+            return forward(
+                params, batch["image_feats"], batch["pre_embeds"],
+                batch["post_embeds"], batch["labels"],
+            )
+
+        def step_fn(state, batch):
+            params = state["params"]
+            trainable = (
+                {"projector": params["projector"]}
+                if mode == "projector"
+                else {"projector": params["projector"], "llama": params["llama"]}
+            )
+            frozen = {k: v for k, v in params.items() if k not in trainable}
+            loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, batch)
+            updates, opt = self.tx.update(grads, state["opt"], trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return {
+                "params": {**frozen, **trainable},
+                "opt": opt,
+                "step": state["step"] + 1,
+            }, loss
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def save_projector_only(self, state, path: str):
+        """Selective mm-projector checkpoint (llava_trainer.py:150-169)."""
+        from supir_tpu.utils.checkpoint import save_params
+
+        save_params(path, {"projector": state["params"]["projector"]})

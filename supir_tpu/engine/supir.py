@@ -467,6 +467,16 @@ class SUPIREngine:
             )
             sigmas = None
             sigma0 = tables.sigma[0]
+        elif sampler_name == "Substep":
+            # fixed 1000-step subset (reference SubstepSampler, sampling.py:372)
+            sigmas = S.substep_sigmas(num_steps)
+            tables = S.make_step_tables(
+                sigmas, scfg, control_scale=control_scale,
+                use_linear_control_scale=use_linear_control_scale,
+                control_scale_start=control_scale_start,
+            )
+            sigma0 = sigmas[0]
+            sampler_name = "EulerAncestral"
         else:
             sigmas = legacy_ddpm_sigmas(num_steps)
             tables = S.make_step_tables(

@@ -41,16 +41,23 @@ def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto"):
     """Scaled dot-product attention over [B, S, H, D] tensors.
 
     impl="auto" uses the Pallas flash kernel on TPU for long sequences and
-    plain XLA otherwise.
+    plain XLA otherwise. SUPIR_ATTN_IMPL=xla|flash overrides "auto" (A/B
+    measurements of in-graph fusion effects).
     """
     if impl == "auto":
-        use_flash = (
-            jax.default_backend() == "tpu"
-            and q.shape[1] >= 256
-            and k.shape[1] >= 256
-            and q.shape[-1] <= 128
-        )
-        impl = "flash" if use_flash else "xla"
+        import os
+
+        forced = os.environ.get("SUPIR_ATTN_IMPL")
+        if forced in ("xla", "flash"):
+            impl = forced
+        else:
+            use_flash = (
+                jax.default_backend() == "tpu"
+                and q.shape[1] >= 1024
+                and k.shape[1] >= 1024
+                and q.shape[-1] <= 128
+            )
+            impl = "flash" if use_flash else "xla"
     if impl == "flash":
         from supir_tpu.ops.flash_attention import flash_attention
 

@@ -98,8 +98,10 @@ def _pad_to(x, axis, mult):
 
 @functools.partial(jax.jit, static_argnames=("causal", "bq", "bkv", "interpret"))
 def flash_attention(
-    q, k, v, bias=None, causal=False, bq: int = 256, bkv: int = 512, interpret: bool | None = None
+    q, k, v, bias=None, causal=False, bq: int = 1024, bkv: int = 1024, interpret: bool | None = None
 ):
+    # block defaults from a v5e sweep at 4096 tokens: (1024,1024) reaches
+    # 30 TF/s vs 18.6 at (256,512)
     """[B, S, H, D] attention; scale = D**-0.5. `bias` is not supported in
     the kernel path (UNet/CLIP never need it) — falls back to XLA if given."""
     if bias is not None:
