@@ -198,6 +198,32 @@ class SUPIREngine:
         uc["control"] = z
         return c, uc
 
+    _cond_cache: Dict[Any, Any] = None
+
+    def prepare_condition_cached(self, z, tokens_l, tokens_bigg, tokens_l_uc, tokens_bigg_uc):
+        """PreparedConditioner behavior (reference encoders/modules.py:246):
+        text-tower outputs for repeated prompts (the fixed positive/negative
+        prompt suffixes) are computed once and reused; only the control
+        latent changes per call."""
+        import hashlib
+
+        if self._cond_cache is None:
+            self._cond_cache = {}
+        key = hashlib.sha1(
+            b"".join(np.asarray(t).tobytes() for t in
+                     (tokens_l, tokens_bigg, tokens_l_uc, tokens_bigg_uc))
+        ).hexdigest()
+        if key not in self._cond_cache:
+            c, uc = self.prepare_condition(z, tokens_l, tokens_bigg, tokens_l_uc, tokens_bigg_uc)
+            self._cond_cache[key] = (
+                {k: v for k, v in c.items() if k != "control"},
+                {k: v for k, v in uc.items() if k != "control"},
+            )
+            if len(self._cond_cache) > 32:
+                self._cond_cache.pop(next(iter(self._cond_cache)))
+        c_txt, uc_txt = self._cond_cache[key]
+        return dict(c_txt, control=z), dict(uc_txt, control=z)
+
     def prepare_condition_tiled(
         self,
         z: jnp.ndarray,
