@@ -148,6 +148,25 @@ def serve_worker(worker: ModelWorker, host: str = "0.0.0.0", port: int = 21002):
     return ThreadingHTTPServer((host, port), handler)
 
 
+def caption_work_fn(captioner):
+    """work_fn serving caption requests (the reference ModelWorker's
+    generate_stream for LLaVA, model_worker.py:123-193)."""
+    import numpy as np
+    from PIL import Image
+
+    def work(params: dict) -> dict:
+        img = Image.open(io.BytesIO(base64.b64decode(params["image"]))).convert("RGB")
+        caps = captioner.gen_image_caption(
+            [np.asarray(img)],
+            temperature=float(params.get("temperature", 0.2)),
+            top_p=float(params.get("top_p", 0.7)),
+            qs=params.get("prompt") or None,
+        )
+        return {"text": caps[0], "error_code": 0}
+
+    return work
+
+
 def restoration_work_fn(engine, cfg):
     """Build a work_fn serving base64-PNG restoration requests."""
     import numpy as np
