@@ -322,10 +322,11 @@ class SUPIREngine:
     @functools.lru_cache(maxsize=8)
     def _tiled_sample_fn(
         self, num_steps: int, s_noise: float, tile_size: int, tile_stride: int,
-        local_prompts: bool, mesh_key=None,
+        local_prompts: bool, mesh_key=None, sampler_name: str = "TiledRestoreEDM",
     ):
         from supir_tpu.parallel.tiled_sampler import (
             make_tiled_denoise,
+            tiled_restore_dpmpp2m_sample,
             tiled_restore_edm_sample,
         )
 
@@ -364,6 +365,14 @@ class SUPIREngine:
             )
             control_tiles = _gather_tiles(c["control"], starts, tile_size)
             ca_tiles = c.get("crossattn_tiles") if local_prompts else None
+            if sampler_name == "TiledRestoreDPMPP2M":
+                return tiled_restore_dpmpp2m_sample(
+                    denoise_tile, noised_z, rng, tables,
+                    control_tiles=control_tiles,
+                    tile_size=tile_size, tile_stride=tile_stride,
+                    eta=self.cfg.sampler.eta, s_noise=s_noise,
+                    crossattn_tiles=ca_tiles,
+                )
             return tiled_restore_edm_sample(
                 denoise_tile, noised_z, rng, tables,
                 x_center=x_center, control_tiles=control_tiles,
@@ -399,25 +408,37 @@ class SUPIREngine:
         cfg_scale_start: float = 1.0,
         control_scale_start: float = 0.0,
         z_override: Optional[jnp.ndarray] = None,
+        sampler_name: Optional[str] = None,
     ) -> jnp.ndarray:
-        """Tiled RestoreEDM pipeline (reference TiledRestoreEDMSampler,
-        sampling.py:600-660): 4K+ outputs, tiles batched or sharded over
-        the 'tile' mesh axis."""
+        """Tiled restore pipeline (reference TiledRestoreEDMSampler /
+        TiledRestoreDPMPP2MSampler, sampling.py:600-730): 4K+ outputs,
+        tiles batched or sharded over the 'tile' mesh axis."""
         import dataclasses as dc
 
         cfg = self.cfg
+        sampler_name = sampler_name or (
+            cfg.sampler.name if cfg.sampler.name.startswith("Tiled") else "TiledRestoreEDM"
+        )
         scfg = dc.replace(
             cfg.sampler, num_steps=num_steps, restore_cfg=restoration_scale,
             s_churn=s_churn, s_noise=s_noise,
             cfg_scale=cfg_scale_start if use_linear_cfg else cfg_scale,
             cfg_scale_min=cfg_scale, use_linear_cfg=use_linear_cfg,
         )
-        sigmas = legacy_ddpm_sigmas(num_steps)
-        tables = S.make_step_tables(
-            sigmas, scfg, control_scale=control_scale,
-            use_linear_control_scale=use_linear_control_scale,
-            control_scale_start=control_scale_start,
-        )
+        if sampler_name == "TiledRestoreDPMPP2M":
+            tables = S.restore_dpmpp2m_tables(
+                scfg, num_steps, control_scale=control_scale,
+                use_linear_control_scale=use_linear_control_scale,
+                control_scale_start=control_scale_start,
+            )
+            sigmas = np.concatenate([tables.sigma, [0.0]]).astype(np.float32)
+        else:
+            sigmas = legacy_ddpm_sigmas(num_steps)
+            tables = S.make_step_tables(
+                sigmas, scfg, control_scale=control_scale,
+                use_linear_control_scale=use_linear_control_scale,
+                control_scale_start=control_scale_start,
+            )
         rng = jax.random.PRNGKey(seed)
         rng_noise, rng_sample = jax.random.split(rng)
 
@@ -432,6 +453,7 @@ class SUPIREngine:
         fn = self._tiled_sample_fn(
             num_steps, s_noise, tile_size, tile_stride, local_prompts,
             mesh_key=id(self._tiled_mesh) if self._tiled_mesh is not None else None,
+            sampler_name=sampler_name,
         )
         samples_z = fn(self.params, noised_z, c, uc, z_stage1, tables, rng_sample)
         samples = self.decode_first_stage(samples_z)

@@ -37,6 +37,21 @@ from supir_tpu.ops.resize import bilinear_resize
 Dtype = Any
 
 
+class ZeroConv(nn.Module):
+    """1x1 zero-init additive injector (SUPIR_v0.py:45-59; unused by the
+    v0 configs but part of the project_type surface)."""
+
+    norm_nc: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c, h, h_ori=None):
+        h = h + Conv(self.norm_nc, 1, zero_init=True, dtype=self.dtype, name="zero_conv")(c)
+        if h_ori is not None:
+            h = jnp.concatenate([h_ori, h], axis=-1)
+        return h
+
+
 class ZeroSFT(nn.Module):
     """Zero-init SFT modulation of a decoder skip feature.
 
