@@ -19,6 +19,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: the suite compiles many medium-size graphs;
+# caching them on disk makes re-runs dramatically faster
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"
 
