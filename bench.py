@@ -32,6 +32,9 @@ def _cast_bf16(tree):
 
 
 def main():
+    from supir_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
     ap.add_argument("--steps", type=int, default=50)

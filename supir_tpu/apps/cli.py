@@ -96,6 +96,9 @@ def create_engine_from_args(args):
 
 
 def main(argv=None):
+    from supir_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     import jax
     import jax.numpy as jnp
