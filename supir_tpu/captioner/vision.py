@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from supir_tpu.models.clip import CLIPBlock, CLIPTextConfig
-from supir_tpu.models.layers import Dense
+from supir_tpu.models.layers import Dense, FusedLayerNorm
 
 Dtype = Any
 
@@ -69,7 +69,7 @@ class CLIPVisionTower(nn.Module):
             (1 + c.num_patches, c.width), jnp.float32,
         )
         x = x + pos[None, : x.shape[1]].astype(self.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="pre_layernorm")(x)
+        x = FusedLayerNorm(eps=1e-5, dtype=self.dtype, name="pre_layernorm")(x)
         hidden = [x]
         block_cfg = c.as_text_cfg()
         for i in range(c.layers):

@@ -14,7 +14,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from supir_tpu.models.layers import Dense, GroupNorm32
+from supir_tpu.models.layers import Dense, FusedLayerNorm, GroupNorm32
 from supir_tpu.ops import dot_product_attention
 
 Dtype = Any
@@ -91,7 +91,7 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        ln = lambda name: FusedLayerNorm(eps=1e-5, dtype=self.dtype, name=name)
         h = ln("norm1")(x)
         h = CrossAttention(
             query_dim=self.dim,

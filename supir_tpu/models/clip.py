@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from supir_tpu.models.layers import Dense
+from supir_tpu.models.layers import Dense, FusedLayerNorm
 from supir_tpu.ops import dot_product_attention
 
 Dtype = Any
@@ -82,7 +82,7 @@ class CLIPBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask_bias):
         act = quick_gelu if self.cfg.use_quick_gelu else nn.gelu
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        ln = lambda name: FusedLayerNorm(eps=1e-5, dtype=self.dtype, name=name)
         x = x + CLIPAttention(self.cfg, dtype=self.dtype, name="attn")(ln("ln_1")(x), mask_bias)
         h = ln("ln_2")(x)
         h = Dense(self.cfg.width * 4, dtype=self.dtype, name="mlp_fc1")(h)
@@ -128,7 +128,7 @@ class CLIPTextModel(nn.Module):
             x = CLIPBlock(c, dtype=self.dtype, name=f"block_{i}")(x, mask_bias)
             hidden.append(x)
 
-        final = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln_final")(x)
+        final = FusedLayerNorm(eps=1e-5, dtype=self.dtype, name="ln_final")(x)
         out = {"hidden": hidden, "final": final}
         if c.projection_dim is not None:
             proj = self.param(

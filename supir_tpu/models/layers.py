@@ -111,6 +111,29 @@ class GroupNorm32(nn.Module):
         return y.astype(self.dtype)
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm with streaming fp32 statistics and a single low-precision
+    elementwise pass (flax's LayerNorm materializes an fp32 copy of the
+    activation first — measurable HBM overhead at transformer-token sizes).
+    Param layout matches flax LayerNorm (scale/bias at module root), so the
+    checkpoint converter is unaffected."""
+
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        var = jnp.maximum(m2 - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + self.eps)
+        y = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+        return (y * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)
+
+
 class Conv(nn.Module):
     """3x3/1x1 conv, NHWC."""
 
