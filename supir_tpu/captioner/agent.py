@@ -119,6 +119,19 @@ class CaptionerAgent:
         lp = llama.init(k3, ids, pos, method=llama.forward_ids)["params"]
         return cls(cfg, {"vision": vp, "projector": pp, "llama": lp})
 
+    def shard(self, mesh):
+        """Tensor/FSDP-shard the 13B decoder over the mesh 'model' axis —
+        the TPU re-expression of the reference's second-GPU placement
+        (test.py:10-17). GSPMD inserts the collectives."""
+        import jax
+
+        from supir_tpu.parallel.sharding import fsdp_param_shardings
+
+        self.params = jax.device_put(
+            self.params, fsdp_param_shardings(self.params, mesh)
+        )
+        return self
+
     # ------------------------------------------------------------ tokenize
 
     def _tokenize(self, text: str) -> List[int]:
