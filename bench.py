@@ -39,7 +39,13 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=1024, help="output resolution")
+    ap.add_argument("--vae4k", action="store_true",
+                    help="benchmark tiled VAE encode+decode at 4096^2 "
+                         "(reference headline: ~50 s encode / ~200 s decode)")
     args = ap.parse_args()
+
+    if args.vae4k:
+        return bench_vae4k()
 
     from supir_tpu.config import SUPIRConfig
     from supir_tpu.engine.factory import create_engine, tiny_test_config
@@ -109,6 +115,65 @@ def main():
             }
         )
     )
+
+
+def bench_vae4k():
+    """Tiled VAE at 4096x4096 on one chip vs the reference's own numbers
+    (tilevae.py:25-27: ~50 s encode / ~200 s decode, ~20 GB host RAM)."""
+    from supir_tpu.config import VAEConfig
+    from supir_tpu.models.vae import AutoencoderKL
+    from supir_tpu.parallel.tiled_vae import tiled_decode, tiled_encode
+
+    cfg = VAEConfig()
+    vae = AutoencoderKL(cfg, with_denoise_encoder=False, dtype=jnp.bfloat16)
+    params = jax.jit(
+        lambda k: jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
+            vae.init(k, jnp.zeros((1, 64, 64, 3)))["params"],
+        )
+    )(jax.random.PRNGKey(0))
+
+    size = 4096
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, size, size, 3), jnp.float32, -1, 1)
+
+    def enc():
+        m = tiled_encode(cfg, params["encoder"], params["quant_conv"], x,
+                         tile_size=512, pad=32, chunk=8, dtype=jnp.bfloat16)
+        jax.device_get(m[0, :1, :1, 0])
+        return m
+
+    m = enc()  # compile
+    t0 = time.perf_counter()
+    m = enc()
+    t_enc = time.perf_counter() - t0
+
+    z = m[..., : cfg.z_channels]
+
+    def dec():
+        img = tiled_decode(cfg, params["decoder"], params["post_quant_conv"], z,
+                           tile_size=64, pad=8, chunk=4, dtype=jnp.bfloat16)
+        jax.device_get(img[0, :1, :1, 0])
+        return img
+
+    dec()  # compile
+    t0 = time.perf_counter()
+    dec()
+    t_dec = time.perf_counter() - t0
+
+    total = t_enc + t_dec
+    ref_total = 50.0 + 200.0  # reference tilevae.py:25-27
+    print(
+        json.dumps(
+            {
+                "metric": f"tiled VAE 4096px encode+decode (1 chip; ref {ref_total:.0f}s on CUDA)",
+                "value": round(total, 2),
+                "unit": "s",
+                "vs_baseline": round(ref_total / total, 1),
+            }
+        )
+    )
+    import sys
+    print(f"encode {t_enc:.2f}s decode {t_dec:.2f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -71,8 +71,14 @@ def _pad_tile_axis(tiles: jnp.ndarray, mult: int):
     return tiles, t
 
 
-def _run_tiles(module, params, tiles, mesh: Optional[Mesh]):
-    """Apply `module` (with cross-tile GN axes) over the tile axis."""
+def _run_tiles(module, params, tiles, mesh: Optional[Mesh], chunk: Optional[int] = None):
+    """Apply `module` (with cross-tile GN axes) over the tile axis.
+
+    `chunk`: single-chip memory control for 4K+ inputs — tiles run in
+    groups of `chunk` (GN statistics pool within each group; the same
+    class of approximation as the reference's fast mode,
+    tilevae.py:855-876). With a mesh the tile axis shards instead and
+    statistics stay global."""
     use_mesh = (
         mesh is not None
         and "tile" in mesh.shape
@@ -84,6 +90,19 @@ def _run_tiles(module, params, tiles, mesh: Optional[Mesh]):
         return jax.vmap(f, axis_name="tile_local")(tl)
 
     if not use_mesh:
+        if chunk is not None and tiles.shape[0] > chunk:
+            local_jit = jax.jit(local_fn)
+            outs = []
+            t = tiles.shape[0]
+            for i in range(0, t, chunk):
+                grp = tiles[i : i + chunk]
+                if grp.shape[0] < chunk:  # pad to avoid a second compile
+                    pad = chunk - grp.shape[0]
+                    grp = jnp.concatenate([grp, jnp.repeat(grp[-1:], pad, 0)], 0)
+                    outs.append(local_jit(params, grp)[: t - i])
+                else:
+                    outs.append(local_jit(params, grp))
+            return jnp.concatenate(outs, axis=0)
         return local_fn(params, tiles)
 
     tiles, t_orig = _pad_tile_axis(tiles, mesh.shape["tile"])
@@ -107,11 +126,12 @@ def tiled_encode(
     pad: int = 32,
     mesh: Optional[Mesh] = None,
     dtype=jnp.float32,
+    chunk: Optional[int] = None,
 ):
     """Tiled VAE encode -> moments [B, H/f, W/f, 2z].
 
     tile_size/pad in image pixels; both must be multiples of the VAE
-    downscale factor f.
+    downscale factor f. `chunk` bounds per-step memory on one chip.
     """
     f = vae_cfg.downscale_factor
     assert tile_size % f == 0 and pad % f == 0
@@ -119,7 +139,7 @@ def tiled_encode(
     axes = ("tile_local", "tile") if (mesh and "tile" in getattr(mesh, "shape", {})) else ("tile_local",)
     enc = VAEEncoder(vae_cfg, norm_axis=axes, dtype=dtype)
     tiles, grid, (hp, wp) = split_uniform_tiles(x, tile_size, pad)
-    z_tiles = _run_tiles(enc, params_encoder, tiles, mesh)
+    z_tiles = _run_tiles(enc, params_encoder, tiles, mesh, chunk)
     moments = merge_valid_tiles(z_tiles, grid, (hp // f, wp // f), pad // f)
     moments = moments[:, : h // f, : w // f]
     # 1x1 quant conv commutes with tiling; apply on the merged map
@@ -138,6 +158,7 @@ def tiled_decode(
     pad: int = 8,
     mesh: Optional[Mesh] = None,
     dtype=jnp.float32,
+    chunk: Optional[int] = None,
 ):
     """Tiled VAE decode -> image [B, H*f, W*f, 3]. tile_size/pad in latent px."""
     f = vae_cfg.downscale_factor
@@ -150,6 +171,6 @@ def tiled_decode(
     axes = ("tile_local", "tile") if (mesh and "tile" in getattr(mesh, "shape", {})) else ("tile_local",)
     dec = VAEDecoder(vae_cfg, norm_axis=axes, dtype=dtype)
     tiles, grid, (hp, wp) = split_uniform_tiles(z, tile_size, pad)
-    img_tiles = _run_tiles(dec, params_decoder, tiles, mesh)
+    img_tiles = _run_tiles(dec, params_decoder, tiles, mesh, chunk)
     img = merge_valid_tiles(img_tiles, grid, (hp * f, wp * f), pad * f)
     return img[:, : h * f, : w * f]

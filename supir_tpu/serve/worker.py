@@ -167,6 +167,41 @@ def caption_work_fn(captioner):
     return work
 
 
+def main(argv=None):
+    """Launch a restoration worker and register with the controller."""
+    import argparse
+    import threading
+
+    ap = argparse.ArgumentParser("supir-tpu model worker")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=21002)
+    ap.add_argument("--controller", default="http://127.0.0.1:21001")
+    ap.add_argument("--worker-address", default=None)
+    ap.add_argument("--opt", default="options/SUPIR_v0.yaml")
+    ap.add_argument("--limit-concurrency", type=int, default=2)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--random_weights", action="store_true")
+    args = ap.parse_args(argv)
+
+    from supir_tpu.apps.cli import create_engine_from_args
+
+    class _A:
+        tiny = args.tiny
+        opt = args.opt
+        SUPIR_sign = "Q"
+        random_weights = args.random_weights
+
+    engine, cfg = create_engine_from_args(_A)
+    addr = args.worker_address or f"http://127.0.0.1:{args.port}"
+    worker = ModelWorker(
+        args.controller, addr, restoration_work_fn(engine, cfg),
+        limit_concurrency=args.limit_concurrency,
+    )
+    httpd = serve_worker(worker, args.host, args.port)
+    print(f"worker {addr} registered with {args.controller}")
+    httpd.serve_forever()
+
+
 def restoration_work_fn(engine, cfg):
     """Build a work_fn serving base64-PNG restoration requests."""
     import numpy as np
@@ -205,3 +240,7 @@ def restoration_work_fn(engine, cfg):
         }
 
     return work
+
+
+if __name__ == "__main__":
+    main()
