@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--use_tiled_sampling", action="store_true", default=False)
     ap.add_argument("--sampler_tile_size", type=int, default=128)
     ap.add_argument("--sampler_tile_stride", type=int, default=64)
+    ap.add_argument("--loading_half_params", action="store_true", default=None,
+                    help="hold params in bf16 (reference flag; default ON on TPU)")
+    ap.add_argument("--full_params", dest="loading_half_params", action="store_false")
     # TPU-specific additions
     ap.add_argument("--random_weights", action="store_true",
                     help="run with random init (no checkpoints; smoke/benchmark)")
@@ -67,6 +70,13 @@ def create_engine_from_args(args):
     from supir_tpu.engine.factory import create_engine, tiny_test_config
     from supir_tpu.models.embedders import ConditionerConfig
 
+    import jax.numpy as jnp
+
+    half = getattr(args, "loading_half_params", None)
+    if half is None:
+        half = jax.default_backend() == "tpu"
+    param_dtype = jnp.bfloat16 if half else None
+
     if args.tiny:
         cfg, cond_cfg = tiny_test_config()
         engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
@@ -81,12 +91,16 @@ def create_engine_from_args(args):
 
         params, report = load_supir_checkpoint(cfg, ckpt, supir_ckpt)
         print("checkpoint conversion:", report.summary())
-        import jax.numpy as jnp
-
-        params = jax.tree_util.tree_map(lambda x: jnp.asarray(x), params)
+        tgt = jnp.bfloat16 if half else jnp.float32
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, tgt if x.dtype == np.float32 else None), params
+        )
         engine = SUPIREngine(cfg, params, cond_cfg=cond_cfg)
     elif args.random_weights:
-        engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
+        engine = create_engine(
+            cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64,
+            param_dtype=param_dtype,
+        )
     else:
         raise SystemExit(
             f"no checkpoint at {ckpt!r}; set SDXL_CKPT in {args.opt} or pass "
