@@ -251,6 +251,20 @@ class SUPIREngine:
         c["crossattn_tiles"] = out["crossattn"].astype(jnp.float32)[:, None]
         return c, uc
 
+    def log_images(self, x, c, uc, num_steps: int = 8, seed: int = 0):
+        """Debug/visualization dict (reference DiffusionEngine.log_images,
+        diffusion.py:272-320): inputs, stage-1 reconstruction, and a short
+        sample — everything a training loop would want to write out."""
+        z = self.encode_first_stage_with_denoise(x)
+        out = {
+            "inputs": x,
+            "stage1": self.decode_first_stage(z),
+            "samples": self.batchify_sample(
+                x, c, uc, num_steps=num_steps, seed=seed, z_override=z
+            ),
+        }
+        return out
+
     def shard_for_inference(self, mesh):
         """Multi-chip inference: FSDP/TP-shard params over the mesh 'model'
         axis and let GSPMD insert the collectives. The reference's
