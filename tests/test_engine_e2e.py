@@ -68,6 +68,18 @@ def test_sample_deterministic_given_seed(engine):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_log_images(engine):
+    x = jnp.clip(jax.random.normal(jax.random.PRNGKey(8), (1, 64, 64, 3)) * 0.3, -1, 1)
+    z = engine.encode_first_stage_with_denoise(x)
+    k = jax.random.PRNGKey(9)
+    c, uc = engine.prepare_condition(z, _tokens(k), _tokens(k), _tokens(k), _tokens(k))
+    logs = engine.log_images(x, c, uc, num_steps=2)
+    assert set(logs) == {"inputs", "stage1", "samples"}
+    for v in logs.values():
+        assert v.shape == x.shape
+        assert np.isfinite(np.asarray(v)).all()
+
+
 def test_lightning_sampler_path(engine):
     """RestoreDPMPP2M (Lightning ckpt family) on the same engine."""
     x = jnp.clip(jax.random.normal(jax.random.PRNGKey(5), (1, 64, 64, 3)) * 0.3, -1, 1)
