@@ -51,10 +51,11 @@ def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto"):
         if forced in ("xla", "flash"):
             impl = forced
         else:
+            min_seq = int(os.environ.get("SUPIR_FLASH_MIN_SEQ", "1024"))
             use_flash = (
                 jax.default_backend() == "tpu"
-                and q.shape[1] >= 1024
-                and k.shape[1] >= 1024
+                and q.shape[1] >= min_seq
+                and k.shape[1] >= min_seq
                 and q.shape[-1] <= 128
             )
             impl = "flash" if use_flash else "xla"
