@@ -41,8 +41,10 @@ def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto"):
     """Scaled dot-product attention over [B, S, H, D] tensors.
 
     impl="auto" uses the Pallas flash kernel on TPU for long sequences and
-    plain XLA otherwise. SUPIR_ATTN_IMPL=xla|flash overrides "auto" (A/B
-    measurements of in-graph fusion effects).
+    plain XLA otherwise. SUPIR_ATTN_IMPL=xla|flash overrides "auto";
+    SUPIR_FLASH_MIN_SEQ moves the crossover. Measured on v5e (full SUPIR
+    pipeline, 1024px 50 steps): all-XLA 12.08 s, flash>=2048 10.11 s,
+    flash>=1024 (default) 9.07 s.
     """
     if impl == "auto":
         import os
