@@ -147,22 +147,29 @@ class SUPIREngine:
             jax.jit(dec),
         )
 
+    def _mesh_key(self):
+        """Cache key component for the current tiled mesh. Keying the jit
+        caches on this (rather than relying on call time) means a mesh set via
+        `set_tiled_mesh`/`shard_for_inference` *after* the first tiled call is
+        picked up instead of silently ignored."""
+        return id(self._tiled_mesh) if self._tiled_mesh is not None else None
+
     def encode_first_stage_with_denoise(self, x):
         """LQ image [B,H,W,3] in [-1,1] -> stage-1 cleaned latent (mode)."""
         if self._tile_vae:
-            f, _, _ = self._tiled_vae_fns(*self._tile_vae)
+            f, _, _ = self._tiled_vae_fns(*self._tile_vae, mesh_key=self._mesh_key())
             return f(self.params, x)
         return self._encode_denoise_jit(self.params, x)
 
     def encode_first_stage(self, x):
         if self._tile_vae:
-            _, f, _ = self._tiled_vae_fns(*self._tile_vae)
+            _, f, _ = self._tiled_vae_fns(*self._tile_vae, mesh_key=self._mesh_key())
             return f(self.params, x)
         return self._encode_jit(self.params, x)
 
     def decode_first_stage(self, z):
         if self._tile_vae:
-            _, _, f = self._tiled_vae_fns(*self._tile_vae)
+            _, _, f = self._tiled_vae_fns(*self._tile_vae, mesh_key=self._mesh_key())
             return f(self.params, z)
         return self._decode_jit(self.params, z)
 

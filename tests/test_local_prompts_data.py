@@ -57,6 +57,24 @@ def test_prepare_condition_tiled_and_sample():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_tiled_vae_cache_tracks_mesh():
+    """Regression: setting a mesh *after* the first tiled encode must change
+    the cached tiled-VAE executable (the round-1 bug silently kept using the
+    mesh-less spec forever)."""
+    cfg, cond_cfg = tiny_test_config()
+    engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
+    engine.init_tile_vae(encoder_tile_size=64, decoder_tile_size=8)
+    x = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 3)) * 0.3, -1, 1)
+    z0 = engine.encode_first_stage_with_denoise(x)  # populates mesh-less cache
+    f_nomesh, _, _ = engine._tiled_vae_fns(*engine._tile_vae, mesh_key=engine._mesh_key())
+    mesh = make_mesh((1, 4, 2), ("data", "tile", "model"))
+    engine.set_tiled_mesh(mesh)
+    f_mesh, _, _ = engine._tiled_vae_fns(*engine._tile_vae, mesh_key=engine._mesh_key())
+    assert f_mesh is not f_nomesh
+    z1 = engine.encode_first_stage_with_denoise(x)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-4)
+
+
 def test_shard_for_inference_places_params():
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
