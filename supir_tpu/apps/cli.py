@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--use_tile_vae", action="store_true", default=False)
     ap.add_argument("--encoder_tile_size", type=int, default=512)
     ap.add_argument("--decoder_tile_size", type=int, default=64)
+    ap.add_argument("--sampler", type=str, default=None,
+                    choices=["RestoreEDM", "RestoreDPMPP2M", "EulerEDM", "HeunEDM",
+                             "EulerAncestral", "DPMPP2SAncestral", "DPMPP2M",
+                             "LMS", "Substep"],
+                    help="override the config sampler")
     ap.add_argument("--use_tiled_sampling", action="store_true", default=False)
     ap.add_argument("--sampler_tile_size", type=int, default=128)
     ap.add_argument("--sampler_tile_stride", type=int, default=64)
@@ -158,10 +163,16 @@ def main(argv=None):
 
         caption = ""
         if captioner is not None:
+            # reference parity (test.py:84-92): the captioner sees the stage-1
+            # denoise of a fix_resize=512 version of the LQ image, not the
+            # full-res stage-1 output.
             t0 = time.perf_counter()
-            caption = captioner.gen_image_caption(
-                [np.asarray((x_stage1_img[0] + 1) * 127.5).clip(0, 255).astype(np.uint8)]
-            )[0]
+            arr512, h1, w1 = pil_to_array(
+                img, upscale=args.upscale, min_size=args.min_size, fix_resize=512
+            )
+            x512 = engine.batchify_denoise(jnp.asarray(arr512)[None])
+            cap_img = array_to_pil(np.asarray(x512[0]), h1, w1)
+            caption = captioner.gen_image_caption([np.asarray(cap_img)])[0]
             timings["caption"] = time.perf_counter() - t0
 
         prompt = caption + p_p
@@ -188,6 +199,11 @@ def main(argv=None):
             control_scale_start=args.spt_linear_s_stage2,
             z_override=zN,
         )
+        if args.sampler:
+            sample_kwargs["sampler_name"] = (
+                ("TiledRestoreDPMPP2M" if "DPMPP" in args.sampler else "TiledRestoreEDM")
+                if args.use_tiled_sampling else args.sampler
+            )
         if args.profile_dir:
             jax.profiler.start_trace(args.profile_dir)
         if args.use_tiled_sampling:

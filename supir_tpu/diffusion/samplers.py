@@ -314,15 +314,72 @@ def dpmpp2s_ancestral_sample(denoise, x, rng, tables, eta=1.0, s_noise=1.0):
 # DPM++ 2M family (sampling.py:293-368, 422-519)
 
 
-def dpmpp2m_sample(denoise, x, rng, tables, eta: float = 0.0, s_noise: float = 1.0):
-    """DPM++(2M), optionally SDE (eta>0) — covers both the plain
-    DPMPP2MSampler and RestoreDPMPP2MSampler step math.
+def vbt_value(key, t, t0, t1, shape, dtype=jnp.float32, levels: int = 24):
+    """Virtual Brownian tree: W(t) for a Brownian motion pinned to W(t0)=0,
+    W(t1)~N(0, t1-t0), evaluated by `levels` steps of Brownian-bridge
+    bisection with deterministic key-splitting (the "Scalable Gradients for
+    SDEs" construction, same idea as torchsde's BrownianTree that backs
+    k-diffusion's BrownianTreeNoiseSampler, reference sampling.py:486-494).
 
-    With eta>0, per-step noise is injected with std
-    next_sigma * sqrt(-expm1(-2*eta*h)) (the reference draws it from a
-    Brownian-tree sampler for step-count-invariant reproducibility; for a
-    fixed schedule the increments are independent Gaussians, which is
-    statistically identical).
+    Deterministic in (key, t): querying the same time from the same key gives
+    the same value no matter what other times are queried — this is the
+    property that makes SDE sampling reproducible across step counts.
+    Resolution: |t1-t0| * 2^-levels.
+    """
+    w0 = jnp.zeros(shape, dtype)
+    span = t1 - t0
+    w1 = jax.random.normal(jax.random.fold_in(key, 1), shape, dtype) * jnp.sqrt(span)
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def body(_, carry):
+        k, ta, tb, wa, wb = carry
+        tm = 0.5 * (ta + tb)
+        km = jax.random.fold_in(k, 2)
+        # Brownian bridge midpoint: mean of endpoints + N(0, (tb-ta)/4)
+        wm = 0.5 * (wa + wb) + jax.random.normal(km, shape, dtype) * jnp.sqrt(
+            jnp.maximum(tb - ta, 0.0) / 4.0
+        )
+        go_left = t < tm
+        k = jax.random.fold_in(k, jnp.where(go_left, 3, 4))
+        ta2 = jnp.where(go_left, ta, tm)
+        tb2 = jnp.where(go_left, tm, tb)
+        wa2 = jnp.where(go_left, wa, wm)
+        wb2 = jnp.where(go_left, wm, wb)
+        return k, ta2, tb2, wa2, wb2
+
+    k, ta, tb, wa, wb = jax.lax.fori_loop(
+        0, levels, body, (key, jnp.asarray(t0, dtype), jnp.asarray(t1, dtype), w0, w1)
+    )
+    frac = (t - ta) / jnp.maximum(tb - ta, tiny)
+    return wa + (wb - wa) * jnp.clip(frac, 0.0, 1.0)
+
+
+def brownian_increment(key, sigma_from, sigma_to, sigma_min, sigma_max, shape,
+                       dtype=jnp.float32, levels: int = 24):
+    """BrownianTreeNoiseSampler.__call__ equivalent: unit-variance noise
+    (W(t1)-W(t0)) / sqrt(|t1-t0|) on the global span [sigma_min, sigma_max]
+    (k-diffusion uses identity transform, so t == sigma)."""
+    lo = jnp.minimum(sigma_from, sigma_to)
+    hi = jnp.maximum(sigma_from, sigma_to)
+    w_hi = vbt_value(key, hi, sigma_min, sigma_max, shape, dtype, levels)
+    w_lo = vbt_value(key, lo, sigma_min, sigma_max, shape, dtype, levels)
+    return (w_hi - w_lo) / jnp.sqrt(jnp.maximum(hi - lo, 1e-30))
+
+
+def dpmpp2m_sample(denoise, x, rng, tables, eta: float = 0.0, s_noise: float = 1.0,
+                   brownian: bool = True):
+    """DPM++(2M), optionally SDE (eta>0) — covers both the plain
+    DPMPP2MSampler and RestoreDPMPP2MSampler step math
+    (reference sampling.py:293-368, 422-519).
+
+    Parity notes vs the reference RestoreDPMPP2MSampler:
+      - step 0 (old_denoised is None) and terminal steps (next_sigma≈0)
+        return x_standard with NO noise injection (sampling.py:471-474);
+      - with eta>0, the SDE noise comes from the Brownian-tree sampler over
+        the global [sigmas_min, sigmas_max] span (sampling.py:494-499), so
+        sampling is reproducible across step counts; set brownian=False for
+        plain i.i.d. increments (distribution-identical for a fixed
+        schedule, cheaper).
     """
     b = x.shape[0]
     n = tables.num_steps
@@ -330,6 +387,10 @@ def dpmpp2m_sample(denoise, x, rng, tables, eta: float = 0.0, s_noise: float = 1
     sig = jnp.asarray(tables.sigma)
     prev_sigma = jnp.concatenate([jnp.ones((1,), sig.dtype), sig[:-1]])
     step_idx = np.arange(n, dtype=np.int32)
+    # global Brownian span: sigmas_min = last nonzero sigma, sigmas_max = first
+    # (traced scalars — tables are dynamic jit args)
+    bt_min = sig[-1]
+    bt_max = sig[0]
     xs = (
         jnp.asarray(step_idx),
         prev_sigma,
@@ -362,9 +423,15 @@ def dpmpp2m_sample(denoise, x, rng, tables, eta: float = 0.0, s_noise: float = 1
         use_advanced = (i > 0) & (next_sigma > 1e-14)
         x = jnp.where(use_advanced, x_advanced, x_standard)
         if eta > 0:
-            noise = jax.random.normal(key, x.shape, x.dtype)
+            if brownian:
+                noise = brownian_increment(
+                    rng, sigma, next_sigma, bt_min, bt_max, x.shape, x.dtype
+                )
+            else:
+                noise = jax.random.normal(key, x.shape, x.dtype)
             std = next_sigma * jnp.sqrt(-jnp.expm1(-2.0 * eta_h)) * s_noise
-            x = jnp.where(next_sigma > 1e-14, x + noise * std, x)
+            # reference: no noise on step 0 (early return) or terminal steps
+            x = jnp.where((i > 0) & (next_sigma > 1e-14), x + noise * std, x)
         return (x, denoised), None
 
     (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), xs)

@@ -65,24 +65,29 @@ class ZeroSFT(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, c, h, h_ori=None, control_scale=1.0):
+    def __call__(self, c, h, h_ori=None, control_scale=1.0, mask=None):
+        """`mask`: optional 0/1 scalar for progressive training unmasking
+        (SUPIR_v0.py:98-110): when masked (1), the control contribution
+        (zero_conv add, gamma, beta) is zeroed but the GroupNorm and the
+        control_scale blend still apply."""
+        keep = 1.0 if mask is None else 1.0 - jnp.asarray(mask, self.dtype)
         pre_concat = self.concat_channels != 0
         if h_ori is not None and pre_concat:
             h_raw = jnp.concatenate([h_ori, h], axis=-1)
         else:
             h_raw = h
 
-        h = h + Conv(self.norm_nc, 1, zero_init=True, dtype=self.dtype, name="zero_conv")(c)
+        h = h + Conv(self.norm_nc, 1, zero_init=True, dtype=self.dtype, name="zero_conv")(c) * keep
         if h_ori is not None and pre_concat:
             h = jnp.concatenate([h_ori, h], axis=-1)
 
         actv = nn.silu(Conv(128, 3, dtype=self.dtype, name="mlp_shared")(c))
         gamma = Conv(
             self.norm_nc + self.concat_channels, 3, zero_init=True, dtype=self.dtype, name="zero_mul"
-        )(actv)
+        )(actv) * keep
         beta = Conv(
             self.norm_nc + self.concat_channels, 3, zero_init=True, dtype=self.dtype, name="zero_add"
-        )(actv)
+        )(actv) * keep
         h = GroupNorm32(dtype=self.dtype, name="norm")(h) * (gamma + 1.0) + beta
         if h_ori is not None and not pre_concat:
             h = jnp.concatenate([h_ori, h], axis=-1)
@@ -101,7 +106,8 @@ class ZeroCrossAttn(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, context, x, control_scale=1.0):
+    def __call__(self, context, x, control_scale=1.0, mask=None):
+        keep = 1.0 if mask is None else 1.0 - jnp.asarray(mask, self.dtype)
         x_in = x
         x = GroupNorm32(dtype=self.dtype, name="norm1")(x)
         context = GroupNorm32(dtype=self.dtype, name="norm2")(context)
@@ -117,7 +123,7 @@ class ZeroCrossAttn(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(x, context)
-        x = x.reshape(b, h, w, c)
+        x = x.reshape(b, h, w, c) * keep
         return x_in + x * control_scale
 
 
@@ -164,12 +170,37 @@ def _build_adapter_specs(ctrl: ControlConfig):
     return specs
 
 
+# XL-base progressive training schedule (SUPIR_v0.py:552): each stage
+# unmasks more project modules; stages are consumed back-to-front.
+PROGRESSIVE_MASK_NUMS_XL_BASE = (0, 3, 7, 11)
+
+
+def progressive_adapter_masks(ctrl: ControlConfig, stage: int) -> jnp.ndarray:
+    """The reference's `step_progressive_mask` (SUPIR_v0.py:583-597) as data:
+    stage 0 masks the first progressive_mask_nums[-1] adapters, each later
+    stage unmasks more; stage >= len(nums) leaves everything unmasked.
+    Returns a float [num_adapters] vector (1 = masked)."""
+    nums = PROGRESSIVE_MASK_NUMS_XL_BASE
+    n_adapters = len(ctrl.cond_output_channels) + len(ctrl.cross_attn_insert_idx)
+    if stage >= len(nums):
+        mask_num = 0
+    else:
+        mask_num = nums[len(nums) - 1 - stage]
+    return jnp.asarray(
+        [1.0 if i < mask_num else 0.0 for i in range(n_adapters)], jnp.float32
+    )
+
+
 class LightGLVUNet(nn.Module):
     """SDXL UNet with control injection in the decoder.
 
     forward(x, t, context, y, control, control_scale) -> eps prediction.
-    The encoder runs under stop_gradient (reference runs it in no_grad,
-    SUPIR_v0.py:617-629 — only the adaptors and decoder train).
+    Trainability matches the reference no_grad region (SUPIR_v0.py:617-633):
+    time embedding and input blocks are frozen; the middle block, adaptors,
+    and decoder train.
+
+    `adapter_masks`: optional [num_adapters] 0/1 vector (see
+    `progressive_adapter_masks`) for progressive training unmasking.
     """
 
     cfg: UNetConfig
@@ -179,7 +210,8 @@ class LightGLVUNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, timesteps, context, y, control: Sequence[jnp.ndarray], control_scale=1.0):
+    def __call__(self, x, timesteps, context, y, control: Sequence[jnp.ndarray],
+                 control_scale=1.0, adapter_masks: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         ctrl = self.ctrl
         x = x.astype(self.dtype)
@@ -187,12 +219,11 @@ class LightGLVUNet(nn.Module):
         control = [c.astype(self.dtype) for c in control]
 
         emb = TimeEmbedding(cfg, dtype=self.dtype, name="time")(timesteps, y)
-        hs, h = UNetEncoder(
-            cfg, attn_impl=self.attn_impl, remat=self.remat, dtype=self.dtype, name="enc"
-        )(x, emb, context)
-        hs = [jax.lax.stop_gradient(t) for t in hs]
-        h = jax.lax.stop_gradient(h)
         emb = jax.lax.stop_gradient(emb)
+        hs, h = UNetEncoder(
+            cfg, attn_impl=self.attn_impl, remat=self.remat,
+            stop_grad_inputs=True, dtype=self.dtype, name="enc"
+        )(x, emb, context)
 
         specs = _build_adapter_specs(ctrl)
 
@@ -213,11 +244,16 @@ class LightGLVUNet(nn.Module):
                 name=f"proj_{pos}",
             )
 
+        def amask(pos):
+            return None if adapter_masks is None else adapter_masks[pos]
+
         adapter_idx = len(specs) - 1
         control_idx = len(control) - 1
 
         # middle-feature SFT (h_ori=None; concat_channels[last]=0)
-        h = make_adapter(adapter_idx)(control[control_idx], h, control_scale=control_scale)
+        h = make_adapter(adapter_idx)(
+            control[control_idx], h, control_scale=control_scale, mask=amask(adapter_idx)
+        )
         adapter_idx -= 1
         control_idx -= 1
 
@@ -231,7 +267,8 @@ class LightGLVUNet(nn.Module):
                 skip = hs.pop()
                 # SFT the skip feature, concatenating the decoder stream in front
                 h = make_adapter(adapter_idx)(
-                    control[control_idx], skip, h, control_scale=control_scale
+                    control[control_idx], skip, h, control_scale=control_scale,
+                    mask=amask(adapter_idx),
                 )
                 adapter_idx -= 1
                 h = res_block(out_channels=ch, dtype=self.dtype, name=f"out_{block_idx}_res")(h, emb)
@@ -250,7 +287,8 @@ class LightGLVUNet(nn.Module):
                 if level > 0 and i == cfg.num_res_blocks:
                     # extra ZeroCrossAttn before each Upsample (SUPIR_v0.py:641-652)
                     h = make_adapter(adapter_idx)(
-                        control[control_idx], h, control_scale=control_scale
+                        control[control_idx], h, control_scale=control_scale,
+                        mask=amask(adapter_idx),
                     )
                     adapter_idx -= 1
                     h = Upsample(ch, dtype=self.dtype, name=f"out_{block_idx}_up")(h)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from supir_tpu.config import UNetConfig
@@ -105,6 +106,11 @@ class UNetEncoder(nn.Module):
     cfg: UNetConfig
     attn_impl: str = "auto"
     remat: bool = False
+    # When True, stop gradients on the input-block features and the
+    # pre-middle state, but leave the middle block trainable — the
+    # reference's no_grad region covers time_embed + input_blocks only;
+    # middle_block trains (SUPIR_v0.py:617-633).
+    stop_grad_inputs: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -148,6 +154,10 @@ class UNetEncoder(nn.Module):
                 hs.append(h)
                 block_idx += 1
                 ds *= 2
+
+        if self.stop_grad_inputs:
+            hs = [jax.lax.stop_gradient(t) for t in hs]
+            h = jax.lax.stop_gradient(h)
 
         h = res_block(out_channels=ch, dtype=self.dtype, name="mid_res1")(h, emb)
         h = attn(ch, cfg.middle_depth, "mid_attn")(h, context)

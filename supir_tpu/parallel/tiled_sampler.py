@@ -156,6 +156,9 @@ def tiled_restore_dpmpp2m_sample(
 
     sig = jnp.asarray(tables.sigma)
     prev_sigma = jnp.concatenate([jnp.ones((1,), sig.dtype), sig[:-1]])
+    # traced scalars (tables are dynamic jit args)
+    bt_min = jnp.asarray(tables.sigma)[-1]
+    bt_max = jnp.asarray(tables.sigma)[0]
     xs = (
         jnp.asarray(np.arange(n, dtype=np.int32)),
         prev_sigma,
@@ -191,10 +194,18 @@ def tiled_restore_dpmpp2m_sample(
         use_adv = (i > 0) & (next_sigma > 1e-14)
         stepped = jnp.where(use_adv, x_advanced, x_standard)
         if eta > 0:
-            eps = jax.random.normal(key, x.shape, x.dtype)
+            from supir_tpu.diffusion.samplers import brownian_increment
+
+            eps = brownian_increment(
+                rng, sigma, next_sigma, bt_min, bt_max, x.shape, x.dtype
+            )
             eps_tiles = _gather_tiles(eps, starts, ts)
             std = next_sigma * jnp.sqrt(-jnp.expm1(-2.0 * eta_h)) * s_noise
-            stepped = jnp.where(next_sigma > 1e-14, stepped + eps_tiles * std, stepped)
+            # reference parity: no noise on step 0 or terminal steps
+            # (sampling.py:471-474 early return before injection)
+            stepped = jnp.where(
+                (i > 0) & (next_sigma > 1e-14), stepped + eps_tiles * std, stepped
+            )
 
         x_new = _scatter_tiles(stepped, starts, x.shape, weights_j) / count_j
         old_new = _scatter_tiles(denoised, starts, x.shape, weights_j) / count_j
