@@ -64,6 +64,38 @@ class CaptionerConfig:
             cache_len=384,
         )
 
+    @classmethod
+    def from_hf_config(cls, hf: dict) -> "CaptionerConfig":
+        """Build from an HF llava config.json dict (7b/13b dims etc.,
+        reference llava/model/builder.py:26-148 reads the same fields)."""
+        llama = LlamaConfig(
+            vocab_size=hf.get("vocab_size", 32000),
+            dim=hf.get("hidden_size", 5120),
+            layers=hf.get("num_hidden_layers", 40),
+            heads=hf.get("num_attention_heads", 40),
+            kv_heads=hf.get("num_key_value_heads", hf.get("num_attention_heads", 40)),
+            hidden_dim=hf.get("intermediate_size", 13824),
+            max_seq_len=hf.get("max_position_embeddings", 2048),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            rms_eps=hf.get("rms_norm_eps", 1e-6),
+        )
+        vision = CLIPVisionConfig()
+        if "vision_config" in hf:  # explicit dims (tiny/smoke checkpoints)
+            v = hf["vision_config"]
+            vision = CLIPVisionConfig(
+                image_size=v.get("image_size", 336),
+                patch_size=v.get("patch_size", 14),
+                width=v.get("hidden_size", 1024),
+                layers=v.get("num_hidden_layers", 24),
+                heads=v.get("num_attention_heads", 16),
+            )
+        return cls(
+            llama=llama,
+            vision=vision,
+            projector_type=hf.get("mm_projector_type", "mlp2x_gelu"),
+            mm_hidden_layer=hf.get("mm_vision_select_layer", -2),
+        )
+
 
 class MMProjector:
     """mlp2x_gelu projector (llava/model/multimodal_projector/builder.py)."""
@@ -94,13 +126,79 @@ class CaptionerAgent:
     # ------------------------------------------------------------ factory
 
     @classmethod
-    def create_default(cls, weights_dir: Optional[str] = None):
-        if weights_dir is None:
+    def create_default(
+        cls,
+        weights_dir: Optional[str] = None,
+        cfg: Optional[CaptionerConfig] = None,
+        param_dtype=None,
+        mesh=None,
+    ):
+        """Build from real HF llava-v1.5 weights (reference
+        llava/model/builder.py:26-148 + llava_agent.py:18-64).
+
+        weights_dir: an HF llava checkpoint dir (config.json + *.safetensors
+        /*.bin + tokenizer files). Defaults to $LLAVA_MODEL_PATH
+        (CKPT_PTH.py surface). param_dtype defaults to bf16 on TPU (the 13B
+        decoder is 26 GB fp32 — over a v5e chip).
+        """
+        import json
+        import os
+
+        import CKPT_PTH  # noqa: F401 — repo-root constants (reference surface)
+
+        weights_dir = weights_dir or CKPT_PTH.LLAVA_MODEL_PATH
+        if not weights_dir or not os.path.exists(weights_dir):
             raise RuntimeError(
-                "no captioner weights configured; pass weights_dir with "
-                "converted llava-v1.5 params or use create_random(tiny)"
+                "no captioner weights: set LLAVA_MODEL_PATH to an HF "
+                "llava-v1.5 checkpoint dir (or pass weights_dir); the CLI "
+                "degrades to no-caption, like the reference's --no_llava"
             )
-        raise NotImplementedError("weight loading lands with captioner/convert.py")
+        if cfg is None:
+            cfg_path = os.path.join(weights_dir, "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    cfg = CaptionerConfig.from_hf_config(json.load(f))
+            else:
+                cfg = CaptionerConfig()
+
+        from supir_tpu.captioner.convert import load_captioner_checkpoint
+
+        params, report = load_captioner_checkpoint(weights_dir, cfg)
+        if report.missing:
+            raise RuntimeError(
+                f"captioner checkpoint incomplete ({report.summary()}); "
+                f"first missing: {report.missing[:5]}"
+            )
+        print("captioner conversion:", report.summary())
+
+        if param_dtype is None and jax.default_backend() == "tpu":
+            param_dtype = jnp.bfloat16
+        if param_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, param_dtype)
+                if np.asarray(v).dtype == np.float32 else jnp.asarray(v),
+                params,
+            )
+
+        tokenizer = cls.load_tokenizer(weights_dir)
+        agent = cls(cfg, params, tokenizer=tokenizer)
+        if mesh is not None:
+            agent.shard(mesh)
+        return agent
+
+    @staticmethod
+    def load_tokenizer(path: str):
+        """HF tokenizer from the checkpoint dir; a real llava-v1.5 dir always
+        carries tokenizer files. Falls back to the byte tokenizer (with a
+        warning) so synthetic/smoke checkpoints still generate."""
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(path, local_files_only=True)
+        except Exception as e:
+            print(f"[warn] tokenizer load failed from {path!r} ({e}); "
+                  "using byte fallback")
+            return None
 
     @classmethod
     def create_random(cls, cfg: Optional[CaptionerConfig] = None, seed: int = 0):

@@ -97,6 +97,52 @@ def init_params(
     return params
 
 
+def eval_shape_params(
+    cfg: SUPIRConfig,
+    cond_cfg: Optional[ConditionerConfig] = None,
+    image_size: int = 64,
+):
+    """The full parameter tree as jax.ShapeDtypeStructs — no memory, no
+    compute. Used to validate checkpoint-converter output shapes at real
+    SDXL width without materializing ~13.6 GB of parameters."""
+    rng = jax.random.PRNGKey(0)
+    f = cfg.vae.downscale_factor
+    lat = image_size // f
+
+    vae = AutoencoderKL(cfg.vae)
+    x_img = jnp.zeros((1, image_size, image_size, 3))
+    vae_params = jax.eval_shape(lambda k: vae.init(k, x_img)["params"], rng)
+
+    x = jnp.zeros((1, lat, lat, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, cfg.unet.context_dim))
+    y = jnp.zeros((1, cfg.unet.adm_in_channels))
+
+    control_net = GLVControl(cfg.unet, input_upscale=cfg.control.input_upscale)
+    ctrl_params = jax.eval_shape(
+        lambda k: control_net.init(k, x, t, x, ctx, y)["params"], rng
+    )
+    control_shapes = jax.eval_shape(
+        lambda p: control_net.apply({"params": p}, x, t, x, ctx, y), ctrl_params
+    )
+    control = [jnp.zeros(c.shape, jnp.float32) for c in control_shapes]
+
+    unet = LightGLVUNet(cfg.unet, cfg.control)
+    unet_params = jax.eval_shape(
+        lambda k: unet.init(k, x, t, ctx, y, control)["params"], rng
+    )
+
+    params = {"vae": vae_params, "control": ctrl_params, "unet": unet_params}
+    if cond_cfg is not None:
+        conditioner = Conditioner(cond_cfg)
+        tok = jnp.zeros((1, 77), jnp.int32)
+        size = jnp.zeros((1, 2))
+        params["conditioner"] = jax.eval_shape(
+            lambda k: conditioner.init(k, tok, tok, size, size, size)["params"], rng
+        )
+    return params
+
+
 def create_engine(
     cfg: Optional[SUPIRConfig] = None,
     cond_cfg: Optional[ConditionerConfig] = None,
