@@ -44,6 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--spt_linear_CFG", type=float, default=4.0)
     ap.add_argument("--spt_linear_s_stage2", type=float, default=0.0)
     ap.add_argument("--no_llava", action="store_true", default=False)
+    ap.add_argument("--load_8bit_llava", action="store_true", default=False)
     ap.add_argument("--use_tile_vae", action="store_true", default=False)
     ap.add_argument("--encoder_tile_size", type=int, default=512)
     ap.add_argument("--decoder_tile_size", type=int, default=64)
@@ -141,7 +142,7 @@ def main(argv=None):
         try:
             from supir_tpu.captioner.agent import CaptionerAgent
 
-            captioner = CaptionerAgent.create_default()
+            captioner = CaptionerAgent.create_default(load_8bit=args.load_8bit_llava)
         except Exception as e:
             print(f"[warn] captioner unavailable ({e}); proceeding without")
 

@@ -132,6 +132,7 @@ class CaptionerAgent:
         cfg: Optional[CaptionerConfig] = None,
         param_dtype=None,
         mesh=None,
+        load_8bit: bool = False,
     ):
         """Build from real HF llava-v1.5 weights (reference
         llava/model/builder.py:26-148 + llava_agent.py:18-64).
@@ -170,6 +171,17 @@ class CaptionerAgent:
                 f"first missing: {report.missing[:5]}"
             )
         print("captioner conversion:", report.summary())
+
+        if load_8bit:
+            # --load_8bit_llava analogue (reference builder.py:29-38): int8
+            # block projections; everything else follows param_dtype
+            import dataclasses as dc
+
+            from supir_tpu.captioner.llama import quantize_llama_params
+
+            params["llama"], saved = quantize_llama_params(params["llama"])
+            cfg = dc.replace(cfg, llama=dc.replace(cfg.llama, quantize_int8=True))
+            print(f"captioner int8: saved {saved / 1e6:.1f} MB of weights")
 
         if param_dtype is None and jax.default_backend() == "tpu":
             param_dtype = jnp.bfloat16

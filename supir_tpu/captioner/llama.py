@@ -39,6 +39,10 @@ class LlamaConfig:
     max_seq_len: int = 2048
     rope_theta: float = 10000.0
     rms_eps: float = 1e-6
+    # int8 weight quantization of the block projections — the TPU analogue
+    # of --load_8bit_llava (reference llava/model/builder.py:29-38): int8
+    # kernels halve HBM traffic for the memory-bound decode
+    quantize_int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -79,9 +83,65 @@ def apply_rotary(x, cos, sin):
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+class Int8Dense(nn.Module):
+    """Dense with per-out-channel symmetric int8 weights ({'q','scale'}
+    params, see ops/quantize.py). Dequant fuses into the matmul epilogue;
+    int8 kernels stay int8 in HBM."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from supir_tpu.ops.quantize import int8_matmul
+
+        q = self.param(
+            "q", nn.initializers.zeros, (x.shape[-1], self.features), jnp.int8
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (1, self.features), jnp.float32
+        )
+        lead = x.shape[:-1]
+        y = int8_matmul(x.reshape(-1, x.shape[-1]).astype(self.dtype), q, scale)
+        return y.reshape(lead + (self.features,)).astype(self.dtype)
+
+
+_PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_llama_params(params):
+    """fp llama params -> int8 layout for LlamaConfig(quantize_int8=True):
+    every block projection's Dense_0/kernel becomes {'q','scale'}. Returns
+    (new_params, bytes_saved)."""
+    from supir_tpu.ops.quantize import quantize_int8
+
+    saved = [0]
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k in _PROJ_NAMES and isinstance(v, dict) and "Dense_0" in v:
+                w = np.asarray(v["Dense_0"]["kernel"], np.float32)
+                q, scale = quantize_int8(jnp.asarray(w))
+                out[k] = {"q": q, "scale": scale}
+                saved[0] += w.size * 4 - q.size - int(scale.size) * 4
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(params), saved[0]
+
+
 class LlamaBlock(nn.Module):
     cfg: LlamaConfig
     dtype: Dtype = jnp.float32
+
+    def _dense(self, features, name):
+        if self.cfg.quantize_int8:
+            return Int8Dense(features, dtype=self.dtype, name=name)
+        return Dense(features, use_bias=False, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x, cos, sin, cache=None, cache_index=None, attn_bias=None):
@@ -90,9 +150,9 @@ class LlamaBlock(nn.Module):
         b, s, _ = x.shape
 
         h = RMSNorm(c.rms_eps, dtype=self.dtype, name="input_norm")(x)
-        q = Dense(c.heads * hd, use_bias=False, dtype=self.dtype, name="q_proj")(h)
-        k = Dense(c.kv_heads * hd, use_bias=False, dtype=self.dtype, name="k_proj")(h)
-        v = Dense(c.kv_heads * hd, use_bias=False, dtype=self.dtype, name="v_proj")(h)
+        q = self._dense(c.heads * hd, "q_proj")(h)
+        k = self._dense(c.kv_heads * hd, "k_proj")(h)
+        v = self._dense(c.kv_heads * hd, "v_proj")(h)
         q = apply_rotary(q.reshape(b, s, c.heads, hd), cos, sin)
         k = apply_rotary(k.reshape(b, s, c.kv_heads, hd), cos, sin)
         v = v.reshape(b, s, c.kv_heads, hd)
@@ -117,14 +177,12 @@ class LlamaBlock(nn.Module):
             out = dot_product_attention(q, k, v, bias=attn_bias, causal=True, impl="xla")
 
         out = out.reshape(b, s, c.heads * hd)
-        x = x + Dense(c.dim, use_bias=False, dtype=self.dtype, name="o_proj")(out)
+        x = x + self._dense(c.dim, "o_proj")(out)
 
         h = RMSNorm(c.rms_eps, dtype=self.dtype, name="post_norm")(x)
-        gate = Dense(c.hidden_dim, use_bias=False, dtype=self.dtype, name="gate_proj")(h)
-        up = Dense(c.hidden_dim, use_bias=False, dtype=self.dtype, name="up_proj")(h)
-        x = x + Dense(c.dim, use_bias=False, dtype=self.dtype, name="down_proj")(
-            nn.silu(gate) * up
-        )
+        gate = self._dense(c.hidden_dim, "gate_proj")(h)
+        up = self._dense(c.hidden_dim, "up_proj")(h)
+        x = x + self._dense(c.dim, "down_proj")(nn.silu(gate) * up)
         return x, new_cache
 
 

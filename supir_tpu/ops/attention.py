@@ -37,7 +37,8 @@ def _xla_attention(q, k, v, bias=None, causal=False):
     return jnp.einsum("bhst,bthd->bshd", weights, v)
 
 
-def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto"):
+def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto",
+                          alibi_slopes=None):
     """Scaled dot-product attention over [B, S, H, D] tensors.
 
     impl="auto" uses the Pallas flash kernel on TPU for long sequences and
@@ -64,5 +65,13 @@ def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto"):
     if impl == "flash":
         from supir_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, bias=bias, causal=causal)
+        return flash_attention(
+            q, k, v, bias=bias, causal=causal, alibi_slopes=alibi_slopes
+        )
+    if alibi_slopes is not None:
+        # materialize the MPT column bias [1, H, 1, T]
+        t = k.shape[1]
+        col = jnp.arange(t, dtype=jnp.float32) - (t - 1)
+        ab = jnp.asarray(alibi_slopes, jnp.float32)[None, :, None, None] * col
+        bias = ab if bias is None else bias + ab
     return _xla_attention(q, k, v, bias=bias, causal=causal)

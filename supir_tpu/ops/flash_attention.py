@@ -32,11 +32,19 @@ NEG_INF = -1e30
 
 
 def _attn_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, bkv, causal, bq
+    *refs, scale, kv_len, bkv, causal, bq, alibi
 ):
+    if alibi:
+        q_ref, k_ref, v_ref, slope_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        slope_ref = None
     kv_i = pl.program_id(2)
     n_kv = pl.num_programs(2)
     q_i = pl.program_id(1)
+    # read at top level: program_id is unavailable inside pl.when bodies in
+    # interpret mode
+    slope = slope_ref[pl.program_id(0)] if alibi else None
 
     @pl.when(kv_i == 0)
     def _():
@@ -53,6 +61,10 @@ def _attn_kernel(
         s = s * scale  # [bq, bkv]
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_i * bkv
+        if alibi:
+            # MPT column-convention ALiBi: slope * (col - (kv_len-1)); the
+            # per-row constant offset cancels in softmax (attention.py:292)
+            s = s + slope * (col - (kv_len - 1)).astype(jnp.float32)
         mask = col < kv_len
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_i * bq
@@ -98,12 +110,16 @@ def _pad_to(x, axis, mult):
 
 @functools.partial(jax.jit, static_argnames=("causal", "bq", "bkv", "interpret"))
 def flash_attention(
-    q, k, v, bias=None, causal=False, bq: int = 1024, bkv: int = 1024, interpret: bool | None = None
+    q, k, v, bias=None, causal=False, alibi_slopes=None,
+    bq: int = 1024, bkv: int = 1024, interpret: bool | None = None,
 ):
     # block defaults from a v5e sweep at 4096 tokens: (1024,1024) reaches
     # 30 TF/s vs 18.6 at (256,512)
-    """[B, S, H, D] attention; scale = D**-0.5. `bias` is not supported in
-    the kernel path (UNet/CLIP never need it) — falls back to XLA if given."""
+    """[B, S, H, D] attention; scale = D**-0.5. `alibi_slopes` [H] fuses the
+    MPT ALiBi column bias into the kernel (replacing the reference's Triton
+    bias path, flash_attn_triton.py:51-497). Arbitrary dense `bias` is not
+    supported in the kernel path (UNet/CLIP never need it) — falls back to
+    XLA if given."""
     if bias is not None:
         from supir_tpu.ops.attention import _xla_attention
 
@@ -117,6 +133,7 @@ def flash_attention(
     bq = min(bq, max(8, 1 << (s - 1).bit_length()))
     bkv = min(bkv, max(128, 1 << (t - 1).bit_length()))
     scale = d**-0.5
+    alibi = alibi_slopes is not None
 
     # [B, S, H, D] -> [B*H, S, D]
     qb = _pad_to(q.transpose(0, 2, 1, 3).reshape(b * h, s, d), 1, bq)
@@ -126,16 +143,23 @@ def flash_attention(
     grid = (b * h, s_pad // bq, t_pad // bkv)
 
     kernel = functools.partial(
-        _attn_kernel, scale=scale, kv_len=t, bkv=bkv, causal=causal, bq=bq
+        _attn_kernel, scale=scale, kv_len=t, bkv=bkv, causal=causal, bq=bq,
+        alibi=alibi,
     )
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+        pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, kk, 0)),
+        pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, kk, 0)),
+    ]
+    operands = [qb, kb, vb]
+    if alibi:
+        slopes = jnp.tile(jnp.asarray(alibi_slopes, jnp.float32), b)  # [B*H]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(slopes)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, kk, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct(qb.shape, q.dtype),
         scratch_shapes=[
@@ -144,7 +168,7 @@ def flash_attention(
             pltpu.VMEM((bq, d), jnp.float32),
         ],
         interpret=interpret,
-    )(qb, kb, vb)
+    )(*operands)
 
     out = out[:, :s].reshape(b, h, s, d).transpose(0, 2, 1, 3)
     return out

@@ -92,6 +92,52 @@ def test_create_default_loads_and_captions(hf_llava_dir, monkeypatch):
     assert len(caps) == 1 and isinstance(caps[0], str)
 
 
+def test_load_8bit_caption_identity(hf_llava_dir, monkeypatch):
+    """int8-decode caption identity: with kernels snapped to the int8 grid,
+    the quantized decode path must produce the same caption as fp."""
+    import jax.numpy as jnp
+
+    d, cfg = hf_llava_dir
+    monkeypatch.setattr(CaptionerAgent, "load_tokenizer", staticmethod(lambda p: None))
+    agent_fp = CaptionerAgent.create_default(weights_dir=d, cfg=cfg)
+
+    # snap every block-projection kernel onto its own int8 grid so
+    # quantization is exact (round-trips losslessly)
+    from supir_tpu.captioner.llama import _PROJ_NAMES
+    from supir_tpu.ops.quantize import quantize_int8
+
+    def snap(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k in _PROJ_NAMES and isinstance(v, dict) and "Dense_0" in v:
+                w = jnp.asarray(v["Dense_0"]["kernel"], jnp.float32)
+                q, s = quantize_int8(w)
+                out[k] = {"Dense_0": {"kernel": q.astype(jnp.float32) * s}}
+            else:
+                out[k] = snap(v)
+        return out
+
+    agent_fp.params = dict(agent_fp.params, llama=snap(agent_fp.params["llama"]))
+
+    img = np.random.default_rng(1).integers(
+        0, 255, (cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8
+    )
+    cap_fp = agent_fp.gen_image_caption([img], temperature=0.0)[0]
+
+    import dataclasses as dc
+
+    from supir_tpu.captioner.llama import quantize_llama_params
+
+    qparams, saved = quantize_llama_params(agent_fp.params["llama"])
+    assert saved > 0
+    qcfg = dc.replace(cfg, llama=dc.replace(cfg.llama, quantize_int8=True))
+    agent_q = CaptionerAgent(qcfg, dict(agent_fp.params, llama=qparams), tokenizer=None)
+    cap_q = agent_q.gen_image_caption([img], temperature=0.0)[0]
+    assert cap_q == cap_fp
+
+
 def test_create_default_missing_dir_raises():
     with pytest.raises(RuntimeError, match="no captioner weights"):
         CaptionerAgent.create_default(weights_dir="/nonexistent/path")

@@ -46,3 +46,46 @@ def test_flash_bf16():
     want = _xla_attention(q, k, v).astype(jnp.float32)
     got = flash_attention(q, k, v, bq=128, bkv=128, interpret=True).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
+def test_flash_alibi_matches_xla():
+    """Fused-ALiBi kernel path == XLA with materialized column bias."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from supir_tpu.captioner.mpt import alibi_slopes
+    from supir_tpu.ops.attention import dot_product_attention
+    from supir_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 2, 48, 6, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    slopes = alibi_slopes(h)
+
+    ref = dot_product_attention(q, k, v, causal=True, impl="xla",
+                                alibi_slopes=slopes)
+    out = flash_attention(q, k, v, causal=True, alibi_slopes=slopes,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_alibi_noncausal_matches_xla():
+    import jax
+    import numpy as np
+
+    from supir_tpu.captioner.mpt import alibi_slopes
+    from supir_tpu.ops.attention import dot_product_attention
+    from supir_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 1, 32, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    slopes = alibi_slopes(h)
+    ref = dot_product_attention(q, k, v, impl="xla", alibi_slopes=slopes)
+    out = flash_attention(q, k, v, alibi_slopes=slopes, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

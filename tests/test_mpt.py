@@ -40,6 +40,65 @@ def test_mpt_forward_and_causality():
     assert not np.allclose(np.asarray(logits[:, 8:]), np.asarray(logits2[:, 8:]))
 
 
+def test_mpt_cached_decode_matches_full_forward():
+    """KV-cache decode (prefill + per-token steps) must produce the same
+    logits as the teacher-forced full forward — including ALiBi parity
+    (column-bias shift invariance)."""
+    cfg = MPTConfig().tiny()
+    model = MPTForCausalLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), ids)["params"]
+    full = model.apply({"params": params}, ids)  # [B, S, V]
+
+    plen = 6
+    caches = model.init_cache(2, 10)
+    logits_p, caches = model.apply(
+        {"params": params}, ids[:, :plen], caches=caches, cache_index=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(full[:, :plen]), atol=2e-4
+    )
+    for i in range(plen, 10):
+        step_logits, caches = model.apply(
+            {"params": params}, ids[:, i : i + 1], caches=caches, cache_index=i
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full[:, i]), atol=2e-4,
+            err_msg=f"step {i}",
+        )
+
+
+def test_mpt_multiquery_cached_decode():
+    import dataclasses
+
+    cfg = dataclasses.replace(MPTConfig().tiny(), multiquery=True)
+    model = MPTForCausalLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), ids)["params"]
+    full = model.apply({"params": params}, ids)
+    caches = model.init_cache(1, 8)
+    logits_p, caches = model.apply(
+        {"params": params}, ids, caches=caches, cache_index=0
+    )
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(full), atol=2e-4)
+    assert caches[0][0].shape[2] == 1  # single shared KV head
+
+
+def test_mpt_generate():
+    from supir_tpu.captioner.mpt import mpt_generate
+
+    cfg = MPTConfig().tiny()
+    model = MPTForCausalLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 5), 1, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), ids)["params"]
+    out = mpt_generate(model, params, ids, max_new_tokens=6, eos_id=0)
+    assert out.shape[0] == 2 and 1 <= out.shape[1] <= 6
+    assert (out >= 0).all() and (out < cfg.vocab_size).all()
+    # greedy decode is deterministic
+    out2 = mpt_generate(model, params, ids, max_new_tokens=6, eos_id=0)
+    np.testing.assert_array_equal(out, out2)
+
+
 def test_prepared_conditioner_cache():
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
