@@ -34,16 +34,12 @@ from supir_tpu.models.layers import Dense
 IMAGE_TOKEN_INDEX = -200
 DEFAULT_QUESTION = "Describe this image and its style in a very detailed manner."
 
-VICUNA_SYSTEM = (
-    "A chat between a curious human and an artificial intelligence assistant. "
-    "The assistant gives helpful, detailed, and polite answers to the human's "
-    "questions."
-)
-
-
 def vicuna_v1_prompt(question: str) -> str:
-    """vicuna_v1 conversation with an <image> slot (llava/conversation.py)."""
-    return f"{VICUNA_SYSTEM} USER: <image>\n{question} ASSISTANT:"
+    """vicuna_v1 conversation with an <image> slot (kept for back-compat;
+    the registry in captioner/conversation.py is the general surface)."""
+    from supir_tpu.captioner.conversation import build_prompt
+
+    return build_prompt("vicuna_v1", question)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -313,11 +309,14 @@ class CaptionerAgent:
         qs: Optional[str] = None,
         seed: int = 0,
         eos_id: int = 2,
+        conv_mode: str = "vicuna_v1",
     ) -> List[str]:
         """uint8 HWC images -> captions (llava_agent.py:65-103)."""
+        from supir_tpu.captioner.conversation import build_prompt
+
         cfg = self.cfg
         question = qs or DEFAULT_QUESTION
-        prompt = vicuna_v1_prompt(question)
+        prompt = build_prompt(conv_mode, question)
         pre, post = prompt.split("<image>")
         pre_ids = self._tokenize(pre)
         post_ids = self._tokenize(post)[1:] if self.tokenizer else self._tokenize(post)

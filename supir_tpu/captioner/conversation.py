@@ -1,0 +1,265 @@
+"""Conversation template registry for the captioner / chat surfaces.
+
+Behavioral contract: `llava/conversation.py` (381 LoC) — the Conversation
+state object (system prompt, role pair, message list, separator style) and
+the `conv_templates` registry used by the agent, serving workers, the chat
+CLI, and training preprocessing. System prompts / roles / separators are
+prompt-format contracts with the released checkpoints and are kept verbatim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Sequence, Tuple
+
+
+class SeparatorStyle(enum.Enum):
+    SINGLE = "single"
+    TWO = "two"
+    MPT = "mpt"
+    PLAIN = "plain"
+    LLAMA_2 = "llama_2"
+
+
+@dataclasses.dataclass
+class Conversation:
+    system: str
+    roles: Tuple[str, str]
+    messages: List[List[Optional[str]]]
+    offset: int = 0
+    sep_style: SeparatorStyle = SeparatorStyle.SINGLE
+    sep: str = "###"
+    sep2: Optional[str] = None
+    version: str = "Unknown"
+
+    # ------------------------------------------------------------- prompt
+
+    def get_prompt(self) -> str:
+        msgs = [list(m) for m in self.messages]
+        # image messages arrive as (text, image, mode) tuples; normalize the
+        # first one to "<image>\n<text>" (mmtag versions wrap it instead)
+        if msgs and isinstance(msgs[0][1], tuple):
+            role0, (txt, *_rest) = msgs[0][0], msgs[0][1]
+            txt = txt.replace("<image>", "").strip()
+            if "mmtag" in self.version:
+                msgs[0] = [role0, txt]
+                msgs.insert(0, [self.roles[0], "<Image><image></Image>"])
+                msgs.insert(1, [self.roles[1], "Received."])
+            else:
+                msgs[0] = [role0, "<image>\n" + txt]
+
+        def text_of(m):
+            return m[0] if isinstance(m, tuple) else m
+
+        style = self.sep_style
+        if style == SeparatorStyle.SINGLE:
+            parts = [self.system + self.sep]
+            for role, msg in msgs:
+                parts.append(
+                    f"{role}: {text_of(msg)}{self.sep}" if msg else f"{role}:"
+                )
+            return "".join(parts)
+
+        if style == SeparatorStyle.TWO:
+            seps = (self.sep, self.sep2)
+            parts = [self.system + seps[0]]
+            for i, (role, msg) in enumerate(msgs):
+                parts.append(
+                    f"{role}: {text_of(msg)}{seps[i % 2]}" if msg else f"{role}:"
+                )
+            return "".join(parts)
+
+        if style == SeparatorStyle.MPT:
+            parts = [self.system + self.sep]
+            for role, msg in msgs:
+                parts.append(f"{role}{text_of(msg)}{self.sep}" if msg else role)
+            return "".join(parts)
+
+        if style == SeparatorStyle.LLAMA_2:
+            out = ""
+            for i, (role, msg) in enumerate(msgs):
+                if i == 0:
+                    assert msg, "first message should not be none"
+                    assert role == self.roles[0], "first message should come from user"
+                if not msg:
+                    continue
+                txt = text_of(msg)
+                if i == 0:
+                    txt = f"<<SYS>>\n{self.system}\n<</SYS>>\n\n" + txt
+                if i % 2 == 0:
+                    out += f"{self.sep}[INST] {txt} [/INST]"
+                else:
+                    out += f" {txt} {self.sep2}"
+            return out.lstrip(self.sep)
+
+        if style == SeparatorStyle.PLAIN:
+            seps = (self.sep, self.sep2)
+            out = self.system
+            for i, (_role, msg) in enumerate(msgs):
+                if msg:
+                    out += text_of(msg) + seps[i % 2]
+            return out
+
+        raise ValueError(f"Invalid style: {style}")
+
+    # -------------------------------------------------------------- state
+
+    def append_message(self, role: str, message: Optional[str]) -> None:
+        self.messages.append([role, message])
+
+    @property
+    def stop_str(self) -> str:
+        """Decode stop string (mm_utils KeywordsStoppingCriteria contract)."""
+        return self.sep if self.sep_style == SeparatorStyle.SINGLE else self.sep2
+
+    def copy(self) -> "Conversation":
+        return Conversation(
+            system=self.system,
+            roles=self.roles,
+            messages=[list(m) for m in self.messages],
+            offset=self.offset,
+            sep_style=self.sep_style,
+            sep=self.sep,
+            sep2=self.sep2,
+            version=self.version,
+        )
+
+    def dict(self) -> dict:
+        return {
+            "system": self.system,
+            "roles": list(self.roles),
+            "messages": [
+                [r, m[0] if isinstance(m, tuple) else m] for r, m in self.messages
+            ],
+            "offset": self.offset,
+            "sep": self.sep,
+            "sep2": self.sep2,
+        }
+
+
+# ------------------------------------------------------------------ registry
+
+# v0 seed few-shot exchange — prompt-format contract with the v0 checkpoints
+_V0_SEED_Q = "What are the key differences between renewable and non-renewable energy sources?"
+_V0_SEED_A = (
+    "Renewable energy sources are those that can be replenished naturally in a relatively "
+    "short amount of time, such as solar, wind, hydro, geothermal, and biomass. "
+    "Non-renewable energy sources, on the other hand, are finite and will eventually be "
+    "depleted, such as coal, oil, and natural gas. Here are some key differences between "
+    "renewable and non-renewable energy sources:\n"
+    "1. Availability: Renewable energy sources are virtually inexhaustible, while non-renewable "
+    "energy sources are finite and will eventually run out.\n"
+    "2. Environmental impact: Renewable energy sources have a much lower environmental impact "
+    "than non-renewable sources, which can lead to air and water pollution, greenhouse gas emissions, "
+    "and other negative effects.\n"
+    "3. Cost: Renewable energy sources can be more expensive to initially set up, but they typically "
+    "have lower operational costs than non-renewable sources.\n"
+    "4. Reliability: Renewable energy sources are often more reliable and can be used in more remote "
+    "locations than non-renewable sources.\n"
+    "5. Flexibility: Renewable energy sources are often more flexible and can be adapted to different "
+    "situations and needs, while non-renewable sources are more rigid and inflexible.\n"
+    "6. Sustainability: Renewable energy sources are more sustainable over the long term, while "
+    "non-renewable sources are not, and their depletion can lead to economic and social instability.\n"
+)
+
+conv_vicuna_v0 = Conversation(
+    system="A chat between a curious human and an artificial intelligence assistant. "
+           "The assistant gives helpful, detailed, and polite answers to the human's questions.",
+    roles=("Human", "Assistant"),
+    messages=[["Human", _V0_SEED_Q], ["Assistant", _V0_SEED_A]],
+    offset=2,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+    version="v0",
+)
+
+conv_vicuna_v1 = Conversation(
+    system="A chat between a curious user and an artificial intelligence assistant. "
+           "The assistant gives helpful, detailed, and polite answers to the user's questions.",
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+    version="v1",
+)
+
+conv_llama_2 = Conversation(
+    system="""You are a helpful, respectful and honest assistant. Always answer as helpfully as possible, while being safe.  Your answers should not include any harmful, unethical, racist, sexist, toxic, dangerous, or illegal content. Please ensure that your responses are socially unbiased and positive in nature.
+
+If a question does not make any sense, or is not factually coherent, explain why instead of answering something not correct. If you don't know the answer to a question, please don't share false information.""",
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.LLAMA_2,
+    sep="<s>",
+    sep2="</s>",
+    version="llama_v2",
+)
+
+conv_llava_llama_2 = Conversation(
+    system="You are a helpful language and vision assistant. "
+           "You are able to understand the visual content that the user provides, "
+           "and assist the user with a variety of tasks using natural language.",
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.LLAMA_2,
+    sep="<s>",
+    sep2="</s>",
+    version="llama_v2",
+)
+
+conv_mpt = Conversation(
+    system="""<|im_start|>system
+A conversation between a user and an LLM-based AI assistant. The assistant gives helpful and honest answers.""",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
+    messages=[],
+    sep_style=SeparatorStyle.MPT,
+    sep="<|im_end|>",
+    version="mpt",
+)
+
+conv_llava_plain = Conversation(
+    system="",
+    roles=("", ""),
+    messages=[],
+    sep_style=SeparatorStyle.PLAIN,
+    sep="\n",
+)
+
+conv_llava_v1 = Conversation(
+    system="A chat between a curious human and an artificial intelligence assistant. "
+           "The assistant gives helpful, detailed, and polite answers to the human's questions.",
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+    version="v1",
+)
+
+conv_templates = {
+    "default": conv_vicuna_v0,
+    "v0": conv_vicuna_v0,
+    "v1": conv_vicuna_v1,
+    "vicuna_v1": conv_vicuna_v1,
+    "llama_2": conv_llama_2,
+    "plain": conv_llava_plain,
+    "v0_plain": conv_llava_plain,
+    "llava_v1": conv_llava_v1,
+    "llava_llama_2": conv_llava_llama_2,
+    "mpt": conv_mpt,
+}
+
+default_conversation = conv_vicuna_v1
+
+
+def build_prompt(conv_mode: str, question: str, with_image: bool = True) -> str:
+    """One-shot prompt for a single question (the agent's usage pattern,
+    llava_agent.py:69-74): user question (with <image> slot) + empty
+    assistant turn."""
+    conv = conv_templates[conv_mode].copy()
+    q = f"<image>\n{question}" if with_image else question
+    conv.append_message(conv.roles[0], q)
+    conv.append_message(conv.roles[1], None)
+    return conv.get_prompt()

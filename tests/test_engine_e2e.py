@@ -80,6 +80,7 @@ def test_log_images(engine):
         assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
 def test_lightning_sampler_path(engine):
     """RestoreDPMPP2M (Lightning ckpt family) on the same engine."""
     x = jnp.clip(jax.random.normal(jax.random.PRNGKey(5), (1, 64, 64, 3)) * 0.3, -1, 1)

@@ -12,6 +12,7 @@ from supir_tpu.captioner.data import (
 )
 from supir_tpu.engine.factory import create_engine, tiny_test_config
 from supir_tpu.parallel.mesh import make_mesh
+import pytest
 
 
 def test_split_to_even_chunks_balances():
@@ -38,6 +39,7 @@ def test_rank_batches_partition():
         assert not (set(x) & set(y))
 
 
+@pytest.mark.slow
 def test_prepare_condition_tiled_and_sample():
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
@@ -57,6 +59,7 @@ def test_prepare_condition_tiled_and_sample():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_tiled_vae_cache_tracks_mesh():
     """Regression: setting a mesh *after* the first tiled encode must change
     the cached tiled-VAE executable (the round-1 bug silently kept using the
@@ -75,6 +78,7 @@ def test_tiled_vae_cache_tracks_mesh():
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_shard_for_inference_places_params():
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)

@@ -45,6 +45,7 @@ def test_vae_roundtrip_shapes(keys):
     assert "denoise_encoder" in params["params"]
 
 
+@pytest.mark.slow
 def test_unet_forward_shape(keys):
     unet = UNetModel(CFG.unet)
     x = jnp.zeros((1, 16, 16, 4))

@@ -6,6 +6,7 @@ import numpy as np
 
 from supir_tpu.captioner.mpt import MPTConfig, MPTForCausalLM, build_alibi_bias
 from supir_tpu.engine.factory import create_engine, tiny_test_config
+import pytest
 
 
 def test_alibi_slopes_power_of_two():
@@ -99,6 +100,7 @@ def test_mpt_generate():
     np.testing.assert_array_equal(out, out2)
 
 
+@pytest.mark.slow
 def test_prepared_conditioner_cache():
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)

@@ -9,6 +9,7 @@ from jax.sharding import PartitionSpec as P
 from supir_tpu.engine.factory import create_engine, tiny_test_config
 from supir_tpu.engine.training import SUPIRTrainer
 from supir_tpu.parallel import batch_sharding, fsdp_param_shardings, make_mesh
+import pytest
 
 
 def test_make_mesh_shapes():
@@ -31,6 +32,7 @@ def test_fsdp_shardings_shard_large_params():
     assert sh["scale"].spec == P()
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_learns():
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)

@@ -9,6 +9,7 @@ import numpy as np
 
 from supir_tpu.config import SamplerConfig
 from supir_tpu.diffusion import samplers as S
+import pytest
 
 
 # ---------------------------------------------------------------- Brownian
@@ -90,6 +91,7 @@ def test_restore_dpmpp2m_mid_steps_do_inject_noise():
 
 # ------------------------------------------- middle block trainability
 
+@pytest.mark.slow
 def test_middle_block_trains_input_blocks_frozen():
     from supir_tpu.engine.factory import create_engine, tiny_test_config
 
@@ -155,6 +157,7 @@ def test_progressive_mask_schedule():
     assert sums == sorted(sums, reverse=True)
 
 
+@pytest.mark.slow
 def test_masked_adapters_zero_control_contribution():
     """With every adapter masked, changing the control features must not
     change the output (the GN + blend still run, but control adds nothing)."""

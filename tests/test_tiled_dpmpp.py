@@ -8,6 +8,7 @@ from supir_tpu.config import SamplerConfig
 from supir_tpu.diffusion import samplers as S
 from supir_tpu.engine.factory import create_engine, tiny_test_config
 from supir_tpu.parallel.tiled_sampler import tiled_restore_dpmpp2m_sample
+import pytest
 
 
 def test_tiled_dpmpp2m_perfect_denoiser():
@@ -28,6 +29,7 @@ def test_tiled_dpmpp2m_perfect_denoiser():
     np.testing.assert_allclose(np.asarray(out), target, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_engine_tiled_dpmpp2m_pipeline():
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)

@@ -80,6 +80,7 @@ def test_make_tiled_denoise_fold_matches_sharded():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_engine_tiled_pipeline():
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)

@@ -47,6 +47,7 @@ def test_tiled_encode_single_tile_exact(vae_setup):
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tiled_encode_close_on_smooth_input(vae_setup):
     vae, params = vae_setup
     k = jax.random.PRNGKey(2)
@@ -66,6 +67,7 @@ def test_tiled_encode_close_on_smooth_input(vae_setup):
     assert corr > 0.5, corr
 
 
+@pytest.mark.slow
 def test_tiled_decode_runs_and_matches_shape(vae_setup):
     vae, params = vae_setup
     z = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4)) * 0.2
@@ -78,6 +80,7 @@ def test_tiled_decode_runs_and_matches_shape(vae_setup):
     assert corr > 0.5, corr
 
 
+@pytest.mark.slow
 def test_tiled_encode_sharded_matches_single(vae_setup):
     """shard_map over the 'tile' mesh axis == single-device tiled path."""
     vae, params = vae_setup
