@@ -25,6 +25,60 @@ from supir_tpu.captioner.agent import CaptionerAgent
 from supir_tpu.parallel.sharding import batch_sharding, fsdp_param_shardings, replicated
 
 IGNORE_INDEX = -100
+LORA_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj",
+                "gate_proj", "up_proj", "down_proj")
+
+
+def init_lora(llama_params, rank: int = 64, rng=None, targets=LORA_TARGETS):
+    """Low-rank adapters for every target projection: a [in,r] (gaussian),
+    b [r,out] (zeros) — the reference's peft-LoRA surface
+    (llava/train/train.py:100-104, find_all_linear_names:163)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    counter = [0]
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return None
+        out = {}
+        for k, v in node.items():
+            if k in targets and isinstance(v, dict) and "Dense_0" in v:
+                w = v["Dense_0"]["kernel"]
+                counter[0] += 1
+                key = jax.random.fold_in(rng, counter[0])
+                out[k] = {
+                    "a": jax.random.normal(key, (w.shape[0], rank), jnp.float32)
+                    * (1.0 / rank),
+                    "b": jnp.zeros((rank, w.shape[1]), jnp.float32),
+                }
+            else:
+                sub = walk(v)
+                if sub:
+                    out[k] = sub
+        return out
+
+    return walk(llama_params)
+
+
+def merge_lora(llama_params, lora, alpha: float = 16.0, rank: int = 64):
+    """params with kernel += (alpha/rank) * a @ b at each adapted site."""
+    scale = alpha / rank
+
+    def walk(p, l):
+        if not isinstance(p, dict):
+            return p
+        out = {}
+        for k, v in p.items():
+            if l is not None and k in l and "a" in l[k]:
+                w = v["Dense_0"]["kernel"]
+                out[k] = {"Dense_0": {
+                    **v["Dense_0"],
+                    "kernel": w + scale * (l[k]["a"] @ l[k]["b"]).astype(w.dtype),
+                }}
+            else:
+                out[k] = walk(v, l.get(k) if isinstance(l, dict) else None)
+        return out
+
+    return walk(llama_params, lora)
 
 
 def causal_lm_loss(logits, labels):
@@ -48,19 +102,29 @@ class CaptionerTrainer:
         mesh: Mesh,
         learning_rate: float = 2e-5,
         mode: str = "full",
+        lora_rank: int = 64,
+        lora_alpha: float = 16.0,
     ):
-        assert mode in ("full", "projector")
+        assert mode in ("full", "projector", "lora")
         self.agent = agent
         self.mesh = mesh
         self.mode = mode
+        self.lora_rank = lora_rank
+        self.lora_alpha = lora_alpha
         self.tx = optax.adamw(learning_rate)
 
     def trainable_of(self, params):
         if self.mode == "projector":
             return {"projector": params["projector"]}
+        if self.mode == "lora":
+            return {"projector": params["projector"], "lora": params["lora"]}
         return {"projector": params["projector"], "llama": params["llama"]}
 
-    def init_state(self, params):
+    def init_state(self, params, rng=None):
+        if self.mode == "lora" and "lora" not in params:
+            params = dict(
+                params, lora=init_lora(params["llama"], self.lora_rank, rng)
+            )
         trainable = self.trainable_of(params)
         return {
             "params": params,
@@ -90,6 +154,7 @@ class CaptionerTrainer:
         llama = agent.llama
         projector = agent.projector
         mode = self.mode
+        lora_alpha, lora_rank = self.lora_alpha, self.lora_rank
 
         def forward(params, image_feats, pre_embeds, post_embeds, labels):
             """image_feats: raw vision patch features [B, P, Dv] (vision
@@ -100,7 +165,10 @@ class CaptionerTrainer:
             pos = jnp.broadcast_to(
                 jnp.arange(embeds.shape[1]), embeds.shape[:2]
             )
-            logits, _ = llama.apply({"params": params["llama"]}, embeds, pos)
+            llama_p = params["llama"]
+            if mode == "lora":
+                llama_p = merge_lora(llama_p, params["lora"], lora_alpha, lora_rank)
+            logits, _ = llama.apply({"params": llama_p}, embeds, pos)
             return causal_lm_loss(logits, labels)
 
         def loss_fn(trainable, frozen, batch):
@@ -112,11 +180,7 @@ class CaptionerTrainer:
 
         def step_fn(state, batch):
             params = state["params"]
-            trainable = (
-                {"projector": params["projector"]}
-                if mode == "projector"
-                else {"projector": params["projector"], "llama": params["llama"]}
-            )
+            trainable = self.trainable_of(params)
             frozen = {k: v for k, v in params.items() if k not in trainable}
             loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, batch)
             updates, opt = self.tx.update(grads, state["opt"], trainable)
@@ -134,3 +198,13 @@ class CaptionerTrainer:
         from supir_tpu.utils.checkpoint import save_params
 
         save_params(path, {"projector": state["params"]["projector"]})
+
+    def save_lora_only(self, state, path: str):
+        """LoRA adapter checkpoint (the reference's get_peft_state_maybe_zero_3
+        save path, train.py:109-131)."""
+        from supir_tpu.utils.checkpoint import save_params
+
+        save_params(path, {
+            "lora": state["params"]["lora"],
+            "projector": state["params"]["projector"],
+        })

@@ -57,21 +57,48 @@ class Conditioner(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens_l, tokens_bigg, orig_size, crop, target_size):
+    def __call__(self, tokens_l, tokens_bigg, orig_size, crop, target_size,
+                 ucg_rng=None, ucg_rates=None):
+        """ucg_rates: optional per-embedder classifier-free-guidance dropout
+        rates (clip_l, clip_bigg, orig, crop, target) applied as per-sample
+        Bernoulli(1-rate) multipliers during training (reference
+        GeneralConditioner.forward, encoders/modules.py:152-163). Inference
+        passes neither."""
+        import jax
+
         c = self.cfg
+        b = tokens_l.shape[0]
+
+        def ucg(emb, idx):
+            if ucg_rng is None or ucg_rates is None or ucg_rates[idx] <= 0.0:
+                return emb
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(ucg_rng, idx), 1.0 - ucg_rates[idx], (b,)
+            ).astype(emb.dtype)
+            return emb * keep.reshape((b,) + (1,) * (emb.ndim - 1))
+
         out_l = CLIPTextModel(c.clip_l, dtype=self.dtype, name="clip_l")(tokens_l)
         out_g = CLIPTextModel(c.clip_bigg, dtype=self.dtype, name="clip_bigg")(tokens_bigg)
         # CLIP-L: hidden layer (no final LN); bigG: penultimate hidden
-        emb_l = out_l["hidden"][c.clip_l_hidden_layer]
-        emb_g = out_g["hidden"][-2]
+        emb_l = ucg(out_l["hidden"][c.clip_l_hidden_layer], 0)
+        emb_g = ucg(out_g["hidden"][-2], 1)
         crossattn = jnp.concatenate([emb_l, emb_g], axis=-1)
 
-        vec_parts = [out_g["pooled"]]
-        for v in (orig_size, crop, target_size):
-            vec_parts.append(
-                concat_timestep_embed(v.astype(jnp.float32), c.vector_outdim).astype(
-                    self.dtype
-                )
+        # the pooled output is a second output of the bigG embedder: same
+        # rate, independent draw (reference loops `for emb in emb_out`)
+        def ucg_pooled(emb):
+            if ucg_rng is None or ucg_rates is None or ucg_rates[1] <= 0.0:
+                return emb
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(ucg_rng, 5), 1.0 - ucg_rates[1], (b,)
+            ).astype(emb.dtype)
+            return emb * keep[:, None]
+
+        vec_parts = [ucg_pooled(out_g["pooled"])]
+        for i, v in enumerate((orig_size, crop, target_size)):
+            emb_v = concat_timestep_embed(v.astype(jnp.float32), c.vector_outdim).astype(
+                self.dtype
             )
+            vec_parts.append(ucg(emb_v, 2 + i))
         vector = jnp.concatenate(vec_parts, axis=-1)
         return {"crossattn": crossattn, "vector": vector}
