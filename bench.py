@@ -42,24 +42,36 @@ def main():
     ap.add_argument("--vae4k", action="store_true",
                     help="benchmark tiled VAE encode+decode at 4096^2 "
                          "(reference headline: ~50 s encode / ~200 s decode)")
+    ap.add_argument("--mesh", type=str, default=None,
+                    help="sharded-inference mode: 'dp,tile' counts, e.g. "
+                         "'1,4' shards sampler tiles over 4 devices "
+                         "(virtual CPU devices if real chips are scarce)")
     args = ap.parse_args()
 
     if args.vae4k:
         return bench_vae4k()
+    if args.mesh:
+        return bench_sharded(args)
 
     from supir_tpu.config import SUPIRConfig
     from supir_tpu.engine.factory import create_engine, tiny_test_config
 
+    # metric label states exactly what is in the timed path: stage-1
+    # denoise-encode + decode + re-encode + CFG-batched sampler + VAE decode
+    # + wavelet color fix. Text towers (one-off per prompt) and the
+    # captioner are NOT timed.
+    path_note = "stage1+sample+decode+colorfix; text towers/captioner excluded"
     if args.tiny or jax.default_backend() not in ("tpu",):
         cfg, _ = tiny_test_config()
         size = min(args.size, 128)
         steps = min(args.steps, 4)
-        label = f"sec/image {size}px {steps} EDM steps (tiny cfg, {jax.default_backend()})"
+        label = (f"sec/image {size}px {steps} EDM steps "
+                 f"(tiny cfg, {jax.default_backend()}; {path_note})")
     else:
         cfg = SUPIRConfig(ae_dtype="bf16", diffusion_dtype="bf16")
         size = args.size
         steps = args.steps
-        label = f"sec/image {size}px {steps} EDM steps (full SDXL width, 1 chip)"
+        label = f"sec/image {size}px {steps} EDM steps (full SDXL width, 1 chip; {path_note})"
 
     engine = create_engine(
         cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
@@ -115,6 +127,91 @@ def main():
             }
         )
     )
+
+
+def bench_sharded(args):
+    """Multi-chip inference: tiled sampler with tiles sharded over the
+    'tile' mesh axis + FSDP params over 'model'. On a 1-chip session this
+    runs over virtual CPU devices (correctness/compile signal); on a real
+    v5e-8 it is the production sharded path."""
+    from supir_tpu.engine.factory import create_engine, tiny_test_config
+    from supir_tpu.config import SUPIRConfig
+    from supir_tpu.parallel import make_mesh
+
+    dp, tile = (int(v) for v in args.mesh.split(","))
+    need = dp * tile
+    # must run before any backend initialization (same fallback as
+    # __graft_entry__.dryrun_multichip)
+    try:
+        jax.config.update("jax_num_cpu_devices", need)
+    except Exception:
+        pass
+    devices = jax.devices()
+    if len(devices) < need:
+        devices = jax.devices("cpu")  # virtual CPU mesh fallback
+    devices = devices[:need]
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    on_tpu = devices[0].platform == "tpu"
+    mesh = make_mesh((dp, tile, 1), ("data", "tile", "model"), devices=devices)
+
+    if on_tpu:
+        cfg = SUPIRConfig(ae_dtype="bf16", diffusion_dtype="bf16")
+        size, steps = args.size, args.steps
+        tile_size, tile_stride = 128, 64
+    else:
+        cfg, _ = tiny_test_config()
+        size, steps = 128, min(args.steps, 2)
+        tile_size, tile_stride = 8, 4
+
+    with jax.default_device(devices[0]):
+        engine = create_engine(
+            cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
+            param_dtype=jnp.bfloat16 if on_tpu else None,
+        )
+        engine.shard_for_inference(mesh)
+
+        b = dp
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.uniform(rng, (b, size, size, 3), jnp.float32, -1.0, 1.0)
+        lat = size // cfg.vae.downscale_factor
+        c = {
+            "crossattn": jax.random.normal(rng, (b, 77, cfg.unet.context_dim), jnp.float32),
+            "vector": jax.random.normal(rng, (b, cfg.unet.adm_in_channels), jnp.float32),
+        }
+        uc = dict(c)
+
+        def run(seed):
+            z = engine.encode_first_stage_with_denoise(x)
+            cc = dict(c, control=z)
+            uu = dict(uc, control=z)
+            out = engine.batchify_sample_tiled(
+                x, cc, uu, num_steps=steps, tile_size=tile_size,
+                tile_stride=tile_stride, restoration_scale=4.0, cfg_scale=4.0,
+                use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,
+                color_fix_type="Wavelet", seed=seed, z_override=z,
+            )
+            jax.device_get(out[0, :1, :1, 0])
+            return out
+
+        run(0)
+        t0 = time.perf_counter()
+        n_rep = 2
+        for i in range(n_rep):
+            run(i + 1)
+        dt = (time.perf_counter() - t0) / n_rep
+
+    per_image = dt / b
+    label = (
+        f"sec/image {size}px {steps} steps tiled sampler, mesh dp={dp} tile={tile} "
+        f"({devices[0].platform} x{need}; stage1+sample+decode+colorfix; "
+        f"text towers/captioner excluded)"
+    )
+    print(json.dumps({
+        "metric": label,
+        "value": round(per_image, 3),
+        "unit": "s",
+        "vs_baseline": round(TARGET_SECONDS / per_image, 3),
+    }))
 
 
 def bench_vae4k():

@@ -357,14 +357,17 @@ class SUPIREngine:
             # conditioning without 'control' (tiles carry their own slices)
             def denoise_flat(x_flat, sigma_b, cfg_b, ctrl_s, control_flat, ca_flat):
                 bb = x_flat.shape[0]
-                if ca_flat is None:
-                    ca_uc = jnp.broadcast_to(uc["crossattn"], (bb,) + uc["crossattn"].shape[1:])
-                    ca_c = jnp.broadcast_to(c["crossattn"], (bb,) + c["crossattn"].shape[1:])
-                else:
-                    ca_uc = jnp.broadcast_to(uc["crossattn"], (bb,) + uc["crossattn"].shape[1:])
-                    ca_c = ca_flat
-                vec_uc = jnp.broadcast_to(uc["vector"], (bb,) + uc["vector"].shape[1:])
-                vec_c = jnp.broadcast_to(c["vector"], (bb,) + c["vector"].shape[1:])
+
+                def rep(a):
+                    # [B, ...] -> [T*B, ...] (tile-major fold; works for B>1
+                    # where a plain broadcast_to cannot)
+                    reps = (bb // a.shape[0],) + (1,) * (a.ndim - 1)
+                    return jnp.tile(a, reps)
+
+                ca_uc = rep(uc["crossattn"])
+                ca_c = rep(c["crossattn"]) if ca_flat is None else ca_flat
+                vec_uc = rep(uc["vector"])
+                vec_c = rep(c["vector"])
                 cond2 = {
                     "crossattn": jnp.concatenate([ca_uc, ca_c], axis=0),
                     "vector": jnp.concatenate([vec_uc, vec_c], axis=0),

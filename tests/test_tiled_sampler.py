@@ -96,3 +96,14 @@ def test_engine_tiled_pipeline():
     )
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+    # regression: batch > 1 (round-1 tiled conditioning assumed B == 1)
+    x2 = jnp.concatenate([x, x * 0.5], axis=0)
+    z2 = engine.encode_first_stage_with_denoise(x2)
+    tok2 = jnp.tile(tok, (2, 1))
+    c2, uc2 = engine.prepare_condition(z2, tok2, tok2, tok2, tok2)
+    out2 = engine.batchify_sample_tiled(
+        x2, c2, uc2, num_steps=2, tile_size=8, tile_stride=4, seed=1,
+    )
+    assert out2.shape == x2.shape
+    assert np.isfinite(np.asarray(out2)).all()
