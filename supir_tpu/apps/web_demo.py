@@ -36,6 +36,7 @@ label{display:block;margin-top:.5em}
   <label>CFG <input id="cfg" type="number" step="0.5" value="7.5"></label>
   <label>Upscale <input id="upscale" type="number" step="0.5" value="2"></label>
   <label>Preset <select id="preset"><option>Quality</option><option>Fidelity</option></select></label>
+  <label>Model <select id="model"><option>Q</option><option>F</option></select></label>
   <label>Color fix <select id="colorfix"><option>Wavelet</option><option>AdaIn</option><option>None</option></select></label>
   <button onclick="run('stage1')">Stage 1 (denoise)</button>
   <button onclick="run('caption')">Caption</button>
@@ -64,6 +65,7 @@ async function run(stage){
     s_cfg: +document.getElementById('cfg').value,
     upscale: +document.getElementById('upscale').value,
     preset: document.getElementById('preset').value,
+    model_select: document.getElementById('model').value,
     color_fix_type: document.getElementById('colorfix').value};
   const t0 = performance.now();
   const res = await fetch('/api/' + stage, {method:'POST', body: JSON.stringify(body)});
@@ -89,12 +91,37 @@ PRESETS = {
 
 
 class DemoServer:
-    def __init__(self, engine, cfg, captioner=None, history_dir="./history"):
+    def __init__(self, engine, cfg, captioner=None, history_dir="./history",
+                 param_sets=None, active_sign="Q"):
+        """param_sets: optional {'Q': params_or_loader, 'F': ...} for runtime
+        checkpoint hot-swap (reference gradio_demo.py:52,99-107 keeps both
+        state dicts in RAM). A value may be a zero-arg callable for lazy
+        load (e.g. an orbax cache, utils/checkpoint.convert_and_cache)."""
         self.engine = engine
         self.cfg = cfg
         self.captioner = captioner
         self.history_dir = history_dir
+        self.param_sets = param_sets or {}
+        self.active_sign = active_sign
         os.makedirs(history_dir, exist_ok=True)
+
+    def select_model(self, sign: str) -> str:
+        """Hot-swap the engine's parameter tree to checkpoint `sign`."""
+        if sign == self.active_sign:
+            return sign
+        if sign not in self.param_sets:
+            raise ValueError(
+                f"unknown checkpoint {sign!r}; available: {sorted(self.param_sets)}"
+            )
+        params = self.param_sets[sign]
+        if callable(params):
+            params = params()
+            self.param_sets[sign] = params  # materialize once, keep in RAM
+        # keep the previous tree in param_sets so swapping back is instant
+        self.param_sets.setdefault(self.active_sign, self.engine.params)
+        self.engine.params = params
+        self.active_sign = sign
+        return sign
 
     def _log_event(self, kind, params, images: dict) -> str:
         event_id = time.strftime("%Y%m%d_%H%M%S") + "_" + uuid.uuid4().hex[:6]
@@ -154,6 +181,8 @@ class DemoServer:
         from supir_tpu.utils.tokenizer import tokenize
 
         img = self._decode_image(params)
+        if params.get("model_select"):
+            self.select_model(params["model_select"])
         preset = PRESETS.get(params.get("preset", "Quality"), PRESETS["Quality"])
         arr, h0, w0 = pil_to_array(
             img, upscale=float(params.get("upscale", 1.0)),
@@ -234,7 +263,25 @@ def main(argv=None):
         argv = ["--img_dir", "/tmp", "--save_dir", "/tmp"] + list(argv)
     args = ap.parse_args(argv)
     engine, cfg = create_engine_from_args(args)
-    demo = DemoServer(engine, cfg)
+
+    # runtime Q<->F hot-swap (gradio_demo.py:99-107): expose the *other*
+    # checkpoint as a lazy loader when its torch file is present
+    param_sets = {args.SUPIR_sign: engine.params}
+    if not args.tiny:
+        from supir_tpu.config import load_yaml_config
+
+        _, extras = load_yaml_config(args.opt)
+        other = "F" if args.SUPIR_sign == "Q" else "Q"
+        sdxl = extras.get("SDXL_CKPT")
+        sp = extras.get(f"SUPIR_CKPT_{other}")
+        if sdxl and sp and os.path.exists(sdxl) and os.path.exists(sp):
+            from supir_tpu.utils.checkpoint import convert_and_cache
+
+            param_sets[other] = lambda: convert_and_cache(
+                cfg, sdxl, sp, cache_dir=".ckpt_cache", sign=other
+            )
+    demo = DemoServer(engine, cfg, param_sets=param_sets,
+                      active_sign=args.SUPIR_sign)
     httpd = serve_demo(demo, port=args.port)
     print(f"demo on http://0.0.0.0:{args.port}")
     httpd.serve_forever()

@@ -338,7 +338,8 @@ class SUPIREngine:
                 return sample(denoise, noised_z, rng, tables, x_center=x_center, **kwargs)
             return sample(denoise, noised_z, rng, tables, **kwargs)
 
-        return jax.jit(f)
+        # donate the fresh noise buffer: the scan carry reuses it in place
+        return jax.jit(f, donate_argnums=(1,))
 
     @functools.lru_cache(maxsize=8)
     def _tiled_sample_fn(

@@ -57,3 +57,28 @@ def test_stage2_runs(demo):
     assert "image" in out and out["event_id"]
     img = Image.open(io.BytesIO(base64.b64decode(out["image"])))
     assert img.size[0] >= 64
+
+
+def test_model_hot_swap():
+    cfg, cond_cfg = tiny_test_config()
+    engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
+    params_q = engine.params
+    calls = []
+
+    def load_f():
+        calls.append(1)
+        import jax.numpy as jnp
+        return jax.tree_util.tree_map(lambda v: v * 1.0, params_q)
+
+    demo = DemoServer(engine, cfg, history_dir="/tmp/hist_swap",
+                      param_sets={"Q": params_q, "F": load_f}, active_sign="Q")
+    assert demo.select_model("Q") == "Q" and not calls  # no-op, no load
+    assert demo.select_model("F") == "F"
+    assert calls == [1]  # lazy loader materialized once
+    assert engine.params is not params_q
+    demo.select_model("Q")
+    assert engine.params is params_q  # instant swap back from RAM
+    demo.select_model("F")
+    assert calls == [1]  # cached, not re-loaded
+    with pytest.raises(ValueError, match="unknown checkpoint"):
+        demo.select_model("X")
