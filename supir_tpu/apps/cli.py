@@ -45,6 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--spt_linear_s_stage2", type=float, default=0.0)
     ap.add_argument("--no_llava", action="store_true", default=False)
     ap.add_argument("--load_8bit_llava", action="store_true", default=False)
+    ap.add_argument("--load_4bit_llava", action="store_true", default=False)
     ap.add_argument("--use_tile_vae", action="store_true", default=False)
     ap.add_argument("--encoder_tile_size", type=int, default=512)
     ap.add_argument("--decoder_tile_size", type=int, default=64)
@@ -142,7 +143,9 @@ def main(argv=None):
         try:
             from supir_tpu.captioner.agent import CaptionerAgent
 
-            captioner = CaptionerAgent.create_default(load_8bit=args.load_8bit_llava)
+            captioner = CaptionerAgent.create_default(
+                load_8bit=args.load_8bit_llava, load_4bit=args.load_4bit_llava
+            )
         except Exception as e:
             print(f"[warn] captioner unavailable ({e}); proceeding without")
 

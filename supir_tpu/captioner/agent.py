@@ -129,6 +129,7 @@ class CaptionerAgent:
         param_dtype=None,
         mesh=None,
         load_8bit: bool = False,
+        load_4bit: bool = False,
     ):
         """Build from real HF llava-v1.5 weights (reference
         llava/model/builder.py:26-148 + llava_agent.py:18-64).
@@ -168,16 +169,20 @@ class CaptionerAgent:
             )
         print("captioner conversion:", report.summary())
 
-        if load_8bit:
-            # --load_8bit_llava analogue (reference builder.py:29-38): int8
-            # block projections; everything else follows param_dtype
+        if load_8bit or load_4bit:
+            # --load_8bit_llava / --load_4bit_llava analogue (reference
+            # builder.py:29-38): quantized block projections; everything
+            # else follows param_dtype
             import dataclasses as dc
 
             from supir_tpu.captioner.llama import quantize_llama_params
 
-            params["llama"], saved = quantize_llama_params(params["llama"])
-            cfg = dc.replace(cfg, llama=dc.replace(cfg.llama, quantize_int8=True))
-            print(f"captioner int8: saved {saved / 1e6:.1f} MB of weights")
+            bits = 4 if load_4bit else 8
+            params["llama"], saved = quantize_llama_params(params["llama"], bits=bits)
+            cfg = dc.replace(cfg, llama=dc.replace(
+                cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4
+            ))
+            print(f"captioner int{bits}: saved {saved / 1e6:.1f} MB of weights")
 
         if param_dtype is None and jax.default_backend() == "tpu":
             param_dtype = jnp.bfloat16

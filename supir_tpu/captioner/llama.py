@@ -39,10 +39,11 @@ class LlamaConfig:
     max_seq_len: int = 2048
     rope_theta: float = 10000.0
     rms_eps: float = 1e-6
-    # int8 weight quantization of the block projections — the TPU analogue
-    # of --load_8bit_llava (reference llava/model/builder.py:29-38): int8
-    # kernels halve HBM traffic for the memory-bound decode
+    # weight quantization of the block projections — the TPU analogue of
+    # --load_8bit_llava / --load_4bit_llava (reference builder.py:29-38):
+    # int8/int4 kernels cut HBM traffic for the memory-bound decode
     quantize_int8: bool = False
+    quantize_int4: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -83,6 +84,29 @@ def apply_rotary(x, cos, sin):
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+class Int4Dense(nn.Module):
+    """Dense with packed 4-bit weights ({'q4','scale'} params)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from supir_tpu.ops.quantize import int4_matmul
+
+        q4 = self.param(
+            "q4",
+            lambda k, s: jnp.zeros(s, jnp.uint8),
+            (x.shape[-1] // 2, self.features),
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (1, self.features), jnp.float32
+        )
+        lead = x.shape[:-1]
+        y = int4_matmul(x.reshape(-1, x.shape[-1]).astype(self.dtype), q4, scale)
+        return y.reshape(lead + (self.features,)).astype(self.dtype)
+
+
 class Int8Dense(nn.Module):
     """Dense with per-out-channel symmetric int8 weights ({'q','scale'}
     params, see ops/quantize.py). Dequant fuses into the matmul epilogue;
@@ -109,13 +133,26 @@ class Int8Dense(nn.Module):
 _PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_llama_params(params):
-    """fp llama params -> int8 layout for LlamaConfig(quantize_int8=True):
-    every block projection's Dense_0/kernel becomes {'q','scale'}. Returns
+def quantize_llama_params(params, bits: int = 8):
+    """fp llama params -> int8/int4 layout (LlamaConfig quantize_int8 /
+    quantize_int4): every block projection's Dense_0/kernel becomes
+    {'q','scale'} (8-bit) or {'q4','scale'} (packed 4-bit). Returns
     (new_params, bytes_saved)."""
-    from supir_tpu.ops.quantize import quantize_int8
+    from supir_tpu.ops.quantize import quantize_int4, quantize_int8
 
+    assert bits in (8, 4)
     saved = [0]
+
+    def one(w):
+        if bits == 8:
+            q, scale = quantize_int8(jnp.asarray(w))
+            new = {"q": q, "scale": scale}
+        else:
+            q4, scale = quantize_int4(jnp.asarray(w))
+            new = {"q4": q4, "scale": scale}
+        new_bytes = sum(int(v.size) * v.dtype.itemsize for v in new.values())
+        saved[0] += int(w.size) * 4 - new_bytes
+        return new
 
     def walk(node):
         if not isinstance(node, dict):
@@ -123,10 +160,7 @@ def quantize_llama_params(params):
         out = {}
         for k, v in node.items():
             if k in _PROJ_NAMES and isinstance(v, dict) and "Dense_0" in v:
-                w = np.asarray(v["Dense_0"]["kernel"], np.float32)
-                q, scale = quantize_int8(jnp.asarray(w))
-                out[k] = {"q": q, "scale": scale}
-                saved[0] += w.size * 4 - q.size - int(scale.size) * 4
+                out[k] = one(np.asarray(v["Dense_0"]["kernel"], np.float32))
             else:
                 out[k] = walk(v)
         return out
@@ -139,6 +173,8 @@ class LlamaBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _dense(self, features, name):
+        if self.cfg.quantize_int4:
+            return Int4Dense(features, dtype=self.dtype, name=name)
         if self.cfg.quantize_int8:
             return Int8Dense(features, dtype=self.dtype, name=name)
         return Dense(features, use_bias=False, dtype=self.dtype, name=name)

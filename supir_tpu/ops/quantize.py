@@ -63,6 +63,39 @@ def quantize_int8(w: jnp.ndarray, seed: int = 0, interpret: bool | None = None):
     return q, scale
 
 
+def quantize_int4(w: jnp.ndarray):
+    """w [in, out] -> (packed uint8 [in//2, out], scale fp32 [1, out]).
+
+    Per-out-channel symmetric int4 in [-7, 7], two values packed per byte
+    along the contraction dim — the TPU analogue of bitsandbytes 4-bit
+    loading (reference llava/model/builder.py:29-38). `in` must be even.
+    """
+    assert w.shape[0] % 2 == 0, "int4 packing needs an even contraction dim"
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    scale = (absmax / 7.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / jnp.maximum(scale, 1e-12)), -7, 7).astype(jnp.int8)
+    qu = (q & 0xF).astype(jnp.uint8)
+    packed = qu[0::2] | (qu[1::2] << 4)
+    return packed, scale
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """packed uint8 [in//2, out] -> int8 [in, out] in [-7, 7]."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    sx = lambda u: (u ^ 8) - 8  # sign-extend 4-bit two's complement
+    half, out = packed.shape
+    return jnp.stack([sx(lo), sx(hi)], axis=1).reshape(half * 2, out)
+
+
+def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray):
+    """x [B, in] @ dequant(packed) -> [B, out]; weights stay 4-bit in HBM,
+    the unpack fuses into the matmul prologue."""
+    q = unpack_int4(packed)
+    y = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
+    return y * scale.astype(jnp.float32)
+
+
 def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
     """x [B, in] @ dequant(q) -> [B, out]; dequant fused into the matmul
     epilogue by XLA (int8 weights stay int8 in HBM)."""

@@ -38,3 +38,68 @@ def test_quantize_tree(rng):
     assert qtree["a"]["kernel"]["q"].dtype == jnp.int8
     assert qtree["bias"].dtype == jnp.float32
     assert saved > 0
+
+
+def test_int4_pack_unpack_roundtrip():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from supir_tpu.ops.quantize import int4_matmul, quantize_int4, unpack_int4
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    packed, scale = quantize_int4(w)
+    assert packed.shape == (8, 8) and packed.dtype == jnp.uint8
+    q = unpack_int4(packed)
+    assert q.shape == (16, 8)
+    assert int(q.max()) <= 7 and int(q.min()) >= -7
+    # dequantized weights within one quantization step of the originals
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(scale) - np.asarray(w))
+    assert err.max() <= np.asarray(scale).max() * 0.51 + 1e-6
+
+    x = jnp.asarray(rng.normal(size=(3, 16)).astype(np.float32))
+    y = int4_matmul(x, packed, scale)
+    ref = np.asarray(x) @ (np.asarray(q, np.float32) * np.asarray(scale))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_caption_identity_when_exact():
+    """Weights snapped to the int4 grid -> int4 decode == fp decode."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig
+    from supir_tpu.captioner.llama import _PROJ_NAMES, quantize_llama_params
+    from supir_tpu.ops.quantize import quantize_int4, unpack_int4
+
+    cfg = CaptionerConfig.tiny()
+    agent = CaptionerAgent.create_random(cfg)
+
+    def snap(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k in _PROJ_NAMES and isinstance(v, dict) and "Dense_0" in v:
+                w = jnp.asarray(v["Dense_0"]["kernel"], jnp.float32)
+                q4, s = quantize_int4(w)
+                out[k] = {"Dense_0": {"kernel": unpack_int4(q4).astype(jnp.float32) * s}}
+            else:
+                out[k] = snap(v)
+        return out
+
+    agent.params = dict(agent.params, llama=snap(agent.params["llama"]))
+    img = np.random.default_rng(1).integers(
+        0, 255, (cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8
+    )
+    cap_fp = agent.gen_image_caption([img], temperature=0.0)[0]
+
+    qparams, saved = quantize_llama_params(agent.params["llama"], bits=4)
+    assert saved > 0
+    qcfg = dc.replace(cfg, llama=dc.replace(cfg.llama, quantize_int4=True))
+    agent_q = CaptionerAgent(qcfg, dict(agent.params, llama=qparams), tokenizer=None)
+    cap_q = agent_q.gen_image_caption([img], temperature=0.0)[0]
+    assert cap_q == cap_fp
