@@ -21,6 +21,12 @@ def main(argv=None):
     ap.add_argument("--random_weights", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--no_llava", action="store_true")
+    ap.add_argument("--retinaface_ckpt", default=None,
+                    help="facexlib detection_Resnet50_Final.pth (else: "
+                         "center-face geometric fallback)")
+    ap.add_argument("--parsenet_ckpt", default=None,
+                    help="facexlib parsing_parsenet.pth for parse-mask "
+                         "paste-back")
     args, _ = ap.parse_known_args(argv)
 
     from PIL import Image
@@ -36,6 +42,15 @@ def main(argv=None):
         random_weights = args.random_weights
 
     engine, cfg = create_engine_from_args(_A)
+    detector = parser = None
+    if args.retinaface_ckpt:
+        from supir_tpu.utils.face_ckpt import load_retinaface
+
+        detector = load_retinaface(args.retinaface_ckpt)
+    if args.parsenet_ckpt:
+        from supir_tpu.utils.face_ckpt import load_parsenet
+
+        parser = load_parsenet(args.parsenet_ckpt)
     os.makedirs(args.save_dir, exist_ok=True)
     for name in sorted(os.listdir(args.img_dir)):
         if not name.lower().endswith((".png", ".jpg", ".jpeg")):
@@ -46,6 +61,7 @@ def main(argv=None):
             engine, cfg, arr, face_resolution=min(args.face_resolution, arr.shape[0]),
             num_steps=args.edm_steps, cfg_scale=args.s_cfg, seed=args.seed,
             restore_background=not args.no_background_restore,
+            detector=detector, parser=parser,
         )
         array_to_pil(out, h0, w0).save(
             os.path.join(args.save_dir, os.path.splitext(name)[0] + "_face.png")

@@ -25,12 +25,23 @@ def restore_with_faces(
     seed: int = 0,
     restore_background: bool = True,
     detector=None,
+    parser=None,
 ) -> np.ndarray:
+    """`detector`: a landmark callable, a RetinaFaceDetector (wrapped via
+    detector_from_models, the reference demo's settings), or None for the
+    geometric center-face fallback. `parser`: an optional FaceParser for
+    parse-mask paste-back (reference use_parse branch)."""
     import jax.numpy as jnp
 
-    from supir_tpu.utils.face_restore import FaceRestoreHelper
+    from supir_tpu.utils.face_restore import (
+        FaceRestoreHelper,
+        ParsedPasteBack,
+        detector_from_models,
+    )
     from supir_tpu.utils.tokenizer import tokenize
 
+    if detector is not None and hasattr(detector, "detect_faces"):
+        detector = detector_from_models(detector)
     helper = FaceRestoreHelper(face_size=face_resolution, detector=detector)
     img01 = (image + 1.0) / 2.0
     faces = helper.align_warp_faces(img01)
@@ -59,5 +70,9 @@ def restore_with_faces(
     else:
         base = img01
 
-    merged = helper.paste_faces_to_input_image(base, faces, restored_faces)
+    if parser is not None:
+        paste = ParsedPasteBack(helper, parser=parser)
+        merged = paste(base, faces, restored_faces)
+    else:
+        merged = helper.paste_faces_to_input_image(base, faces, restored_faces)
     return np.clip(merged * 2.0 - 1.0, -1.0, 1.0)

@@ -55,6 +55,10 @@ def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto",
             impl = forced
         else:
             min_seq = int(os.environ.get("SUPIR_FLASH_MIN_SEQ", "1024"))
+            # NOTE: routing short-kv cross-attention (77 text tokens) through
+            # the kernel was tried and measured SLOWER e2e (188.8 vs 176.3
+            # ms/step): per-launch overhead beats the saved fp32 softmax
+            # round-trip. Keep the kernel for long-kv self-attention only.
             use_flash = (
                 jax.default_backend() == "tpu"
                 and q.shape[1] >= min_seq
