@@ -370,3 +370,48 @@ class CaptionerAgent:
                 ids.append(int(t))
             captions.append(self._detokenize(ids).strip())
         return captions
+
+    def chat(
+        self,
+        text: str,
+        temperature: float = 0.2,
+        top_p: float = 0.7,
+        seed: int = 0,
+        eos_id: int = 2,
+        conv_mode: str = "vicuna_v1",
+    ) -> str:
+        """Text-only turn (no image splice) — the reference CLI's non-image
+        path (llava/serve/cli.py) and the LLM-judge surface for pairwise
+        review."""
+        from supir_tpu.captioner.conversation import build_prompt
+
+        cfg = self.cfg
+        prompt = build_prompt(conv_mode, text, with_image=False)
+        ids = self._tokenize(prompt)
+        ids = ids[: cfg.cache_len - cfg.max_new_tokens]
+        embeds = self.llama.apply(
+            {"params": self.params["llama"]},
+            jnp.asarray(ids, jnp.int32)[None],
+            method=self.llama.embed,
+        )
+        plen = embeds.shape[1]
+        prefill, decode_step = self._prefill_decode
+        caches = self.llama.init_cache(1, cfg.cache_len)
+        positions = jnp.broadcast_to(jnp.arange(plen), (1, plen))
+        logits, caches = prefill(self.params, embeds, positions, caches)
+        rng = jax.random.PRNGKey(seed)
+        tok = jnp.argmax(logits, axis=-1)
+        out_ids = [int(np.asarray(tok)[0])]
+        for i in range(cfg.max_new_tokens - 1):
+            if out_ids[-1] == eos_id:
+                break
+            pos = jnp.full((1,), plen + i, jnp.int32)
+            rng, sub = jax.random.split(rng)
+            tok, caches = decode_step(
+                self.params, tok[:, None], pos, caches, sub,
+                jnp.float32(temperature), jnp.float32(top_p),
+            )
+            out_ids.append(int(np.asarray(tok)[0]))
+        if out_ids and out_ids[-1] == eos_id:
+            out_ids = out_ids[:-1]
+        return self._detokenize(out_ids).strip()

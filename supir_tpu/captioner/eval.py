@@ -1,8 +1,9 @@
 """Captioner eval runner — the `llava/eval/model_vqa.py` surface: answer a
-jsonl of (image, question) pairs and write an answers jsonl for downstream
-judging. GPT-review judging (eval_gpt_review*.py) needs an external LLM
-endpoint and is out of scope for an offline TPU box; the answer files it
-consumes are produced here in the same format.
+jsonl of (image, question) pairs and write an answers jsonl, plus metric
+subcommands (`score-textvqa`, `score-pope`, `score-sqa`, `review`) backed
+by supir_tpu.captioner.evals. Pairwise review takes a pluggable judge —
+`--judge local` uses the captioner itself as the LLM judge where the
+reference hardcodes the OpenAI API (eval_gpt_review.py:16-36).
 """
 
 from __future__ import annotations
@@ -61,8 +62,95 @@ def run_vqa(
     return n
 
 
+def score_main(cmd, argv):
+    import argparse
+
+    from supir_tpu.captioner import evals
+
+    ap = argparse.ArgumentParser(prog=f"eval {cmd}")
+    if cmd == "score-textvqa":
+        ap.add_argument("--annotation-file", required=True)
+        ap.add_argument("--result-file", required=True)
+        a = ap.parse_args(argv)
+        print(json.dumps(evals.eval_textvqa(a.annotation_file, a.result_file)))
+    elif cmd == "score-pope":
+        ap.add_argument("--annotation-dir", required=True)
+        ap.add_argument("--question-file", required=True)
+        ap.add_argument("--result-file", required=True)
+        a = ap.parse_args(argv)
+        with open(a.question_file) as f:
+            questions = {q["question_id"]: q for q in map(json.loads, f)}
+        with open(a.result_file) as f:
+            answers = [json.loads(l) for l in f]
+        out = {}
+        for fn in sorted(os.listdir(a.annotation_dir)):
+            if not (fn.startswith("coco_pope_") and fn.endswith(".json")):
+                continue
+            category = fn[10:-5]
+            cur = [x for x in answers
+                   if questions[x["question_id"]]["category"] == category]
+            with open(os.path.join(a.annotation_dir, fn)) as f:
+                labels = [json.loads(l)["label"] for l in f]
+            out[category] = evals.eval_pope(cur, labels)
+        print(json.dumps(out))
+    elif cmd == "score-sqa":
+        ap.add_argument("--base-dir", required=True)
+        ap.add_argument("--result-file", required=True)
+        ap.add_argument("--split", default="test")
+        a = ap.parse_args(argv)
+        with open(os.path.join(a.base_dir, "pid_splits.json")) as f:
+            split_ids = json.load(f)[a.split]
+        with open(os.path.join(a.base_dir, "problems.json")) as f:
+            problems = json.load(f)
+        with open(a.result_file) as f:
+            predictions = {p["question_id"]: p for p in map(json.loads, f)}
+        print(json.dumps(evals.eval_science_qa(problems, predictions, split_ids)))
+    elif cmd == "review":
+        ap.add_argument("--question", required=True)
+        ap.add_argument("--answer-list", nargs=2, required=True)
+        ap.add_argument("--rule", required=True)
+        ap.add_argument("--output", required=True)
+        ap.add_argument("--judge", default="local",
+                        help="'local' = captioner-as-judge; or a python path "
+                             "module:function taking the content string")
+        ap.add_argument("--tiny-random", action="store_true")
+        a = ap.parse_args(argv)
+        with open(a.question) as f:
+            questions = [json.loads(l) for l in f]
+        with open(a.answer_list[0]) as f:
+            ans1 = [json.loads(l) for l in f]
+        with open(a.answer_list[1]) as f:
+            ans2 = [json.loads(l) for l in f]
+        with open(a.rule) as f:
+            rules = json.load(f)
+        if a.judge == "local":
+            from supir_tpu.captioner.agent import CaptionerAgent
+
+            agent = (CaptionerAgent.create_random() if a.tiny_random
+                     else CaptionerAgent.create_default())
+            judge = lambda content: agent.chat(
+                evals.REVIEW_SYSTEM_PROMPT + "\n\n" + content)
+        else:
+            import importlib
+
+            mod, fn = a.judge.split(":")
+            judge = getattr(importlib.import_module(mod), fn)
+        rows = evals.pairwise_review(questions, ans1, ans2, rules, judge)
+        with open(a.output, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        print(json.dumps(evals.summarize_reviews(rows)))
+    else:
+        raise SystemExit(f"unknown eval subcommand {cmd}")
+
+
 def main(argv=None):
     import argparse
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    if argv and argv[0].startswith(("score-", "review")):
+        return score_main(argv[0], argv[1:])
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--question-file", required=True)
