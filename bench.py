@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--vae4k", action="store_true",
                     help="benchmark tiled VAE encode+decode at 4096^2 "
                          "(reference headline: ~50 s encode / ~200 s decode)")
+    ap.add_argument("--vae8k", action="store_true",
+                    help="tiled VAE at 8192^2 (reference: ~200 s encode / "
+                         "~900 s decode, ~100 GB host RAM)")
     ap.add_argument("--mesh", type=str, default=None,
                     help="sharded-inference mode: 'dp,tile' counts, e.g. "
                          "'1,4' shards sampler tiles over 4 devices "
@@ -49,7 +52,9 @@ def main():
     args = ap.parse_args()
 
     if args.vae4k:
-        return bench_vae4k()
+        return bench_vae(4096, ref_enc=50.0, ref_dec=200.0)
+    if args.vae8k:
+        return bench_vae(8192, ref_enc=200.0, ref_dec=900.0)
     if args.mesh:
         return bench_sharded(args)
 
@@ -127,6 +132,19 @@ def main():
             }
         )
     )
+    # one-line MFU estimate for the sampler loop (dominant term; v5e bf16
+    # peak 197 TF/s) — stderr so the driver's JSON line stays clean
+    try:
+        from supir_tpu.utils.flops import pipeline_flops
+
+        fl = pipeline_flops(cfg, lat, steps, batch=b)
+        print(
+            f"MFU estimate: {fl/1e12:.1f} TFLOP sampler / {dt:.2f} s = "
+            f"{fl/dt/1e12:.1f} TF/s = {fl/dt/197e12*100:.0f}% of v5e bf16 peak",
+            file=sys.stderr,
+        )
+    except Exception:
+        pass
 
 
 def bench_sharded(args):
@@ -214,9 +232,10 @@ def bench_sharded(args):
     }))
 
 
-def bench_vae4k():
-    """Tiled VAE at 4096x4096 on one chip vs the reference's own numbers
-    (tilevae.py:25-27: ~50 s encode / ~200 s decode, ~20 GB host RAM)."""
+def bench_vae(size, ref_enc, ref_dec):
+    """Tiled VAE at size^2 on one chip vs the reference's own numbers
+    (tilevae.py:25-27: 4096^2 ~50 s encode / ~200 s decode @ ~20 GB host
+    RAM; 8192^2 ~200 s / ~900 s @ ~100 GB host RAM)."""
     from supir_tpu.config import VAEConfig
     from supir_tpu.models.vae import AutoencoderKL
     from supir_tpu.parallel.tiled_vae import tiled_decode, tiled_encode
@@ -230,7 +249,6 @@ def bench_vae4k():
         )
     )(jax.random.PRNGKey(0))
 
-    size = 4096
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, size, size, 3), jnp.float32, -1, 1)
 
     def enc():
@@ -258,11 +276,11 @@ def bench_vae4k():
     t_dec = time.perf_counter() - t0
 
     total = t_enc + t_dec
-    ref_total = 50.0 + 200.0  # reference tilevae.py:25-27
+    ref_total = ref_enc + ref_dec  # reference tilevae.py:25-27
     print(
         json.dumps(
             {
-                "metric": f"tiled VAE 4096px encode+decode (1 chip; ref {ref_total:.0f}s on CUDA)",
+                "metric": f"tiled VAE {size}px encode+decode (1 chip; ref {ref_total:.0f}s on CUDA)",
                 "value": round(total, 2),
                 "unit": "s",
                 "vs_baseline": round(ref_total / total, 1),
