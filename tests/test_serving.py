@@ -104,3 +104,55 @@ def test_worker_error_isolation(live_cluster):
     out = _post(caddr + "/worker_generate_stream", {"model": "supir"})
     assert out["error_code"] == 2
     assert "boom" in out.get("error", "")
+
+
+# ---------------------------------------------------------------- web chat
+
+
+def test_register_worker_and_test_message(live_cluster):
+    from supir_tpu.serve.web_chat import register_worker, send_test_message
+
+    caddr, worker = live_cluster
+    out = register_worker(caddr, worker.worker_addr)
+    assert out["exist"] is True
+    msg = send_test_message(caddr, text="ping")
+    assert msg["error_code"] == 0
+    assert msg["text"] == "echo:ping"
+
+
+def test_web_chat_roundtrip(live_cluster):
+    import urllib.request
+
+    from supir_tpu.serve.web_chat import serve_web_chat
+
+    caddr, worker = live_cluster
+    server = serve_web_chat(caddr, host="127.0.0.1", port=0)
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        page = urllib.request.urlopen(base + "/?session=abc", timeout=10).read()
+        assert b"supir" in page  # model dropdown fed by the controller
+
+        boundary = "XtestX"
+        parts = []
+        for k, v in [("session", "abc"), ("model", "supir"), ("text", "hi there")]:
+            parts.append(
+                f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"'
+                f"\r\n\r\n{v}\r\n"
+            )
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="image"; '
+            f'filename="x.png"\r\nContent-Type: image/png\r\n\r\nPNGDATA\r\n'
+        )
+        body = ("".join(parts) + f"--{boundary}--\r\n").encode()
+        req = urllib.request.Request(
+            base + "/send", data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        )
+        resp = urllib.request.urlopen(req, timeout=10)
+        # redirected back to the session page with both turns rendered
+        page = resp.read().decode()
+        assert "hi there" in page
+        assert "echo:hi there" in page
+    finally:
+        server.shutdown()
