@@ -29,6 +29,95 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = math.log2(math.e)
+
+
+def _attn_kernel_packed(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale, kv_len, bq, bkv, d, gsize, causal, ragged
+):
+    """Head-group-packed flash attention tile.
+
+    Blocks are [bq, gsize*d] slices of a [B, S, H*D] array — the natural
+    Dense-output layout, so no [B,S,H,D]->[B*H,S,D] transposes ever
+    materialize. With d=64 two heads ride one 128-lane block, filling the
+    VMEM tile that a lone 64-wide head would leave half empty.
+
+    VPU cost per tile is minimized by static specialization: tiles that
+    need no mask (interior blocks — the entire UNet self-attention case)
+    skip the iota/compare/select entirely, the softmax runs exp2 with the
+    scale folded into the exponent multiplier, and the running max is
+    tracked in raw-score units.
+    """
+    kv_i = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+    q_i = pl.program_id(1)
+    c = scale * LOG2E
+
+    @pl.when(kv_i == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def compute(masked):
+        if masked:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + kv_i * bkv
+            )
+            mask = col < kv_len
+            if causal:
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+                    + q_i * bq
+                )
+                mask = mask & (col <= row)
+        for g in range(gsize):
+            sl = slice(g * d, (g + 1) * d)
+            s = jax.lax.dot_general(
+                q_ref[0][:, sl], k_ref[0][:, sl],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [bq, bkv], raw (unscaled) scores
+            if masked:
+                s = jnp.where(mask, s, NEG_INF)
+            m_prev = m_scr[:, g * d : g * d + 1]  # [bq, 1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp2((s - m_new) * c)
+            corr = jnp.exp2((m_prev - m_new) * c)  # [bq, 1]
+            l_new = l_scr[:, g * d : g * d + 1] * corr + jnp.sum(
+                p, axis=1, keepdims=True
+            )
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0][:, sl],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            acc_scr[:, sl] = acc_scr[:, sl] * corr + pv
+            m_scr[:, sl] = jnp.broadcast_to(m_new, (bq, d))
+            l_scr[:, sl] = jnp.broadcast_to(l_new, (bq, d))
+
+    last = kv_i == n_kv - 1
+    if causal:
+        # fully-above-diagonal blocks are skipped; partial-overlap blocks
+        # (and a ragged last block) take the masked path
+        above = kv_i * bkv > q_i * bq + bq - 1
+        full = kv_i * bkv + bkv - 1 <= q_i * bq
+        if ragged:
+            full = full & jnp.logical_not(last)
+        pl.when(jnp.logical_not(above) & full)(lambda: compute(False))
+        pl.when(jnp.logical_not(above) & jnp.logical_not(full))(
+            lambda: compute(True)
+        )
+    elif ragged:
+        pl.when(jnp.logical_not(last))(lambda: compute(False))
+        pl.when(last)(lambda: compute(True))
+    else:
+        compute(False)
+
+    @pl.when(last)
+    def _():
+        norm = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = (acc_scr[:] / norm).astype(o_ref.dtype)
 
 
 def _attn_kernel(
@@ -111,10 +200,12 @@ def _pad_to(x, axis, mult):
 @functools.partial(jax.jit, static_argnames=("causal", "bq", "bkv", "interpret"))
 def flash_attention(
     q, k, v, bias=None, causal=False, alibi_slopes=None,
-    bq: int = 1024, bkv: int = 1024, interpret: bool | None = None,
+    bq: int | None = None, bkv: int | None = None,
+    interpret: bool | None = None,
 ):
-    # block defaults from a v5e sweep at 4096 tokens: (1024,1024) reaches
-    # 30 TF/s vs 18.6 at (256,512)
+    # block defaults from v5e sweeps (head-packed kernel): long kv wants a
+    # deep kv pipeline — (512,2048) hits 48 TF/s at 4096 tokens (vs 38 at
+    # (1024,1024)); at 1024 tokens (512,1024) ~12 TF/s, launch-bound
     """[B, S, H, D] attention; scale = D**-0.5. `alibi_slopes` [H] fuses the
     MPT ALiBi column bias into the kernel (replacing the reference's Triton
     bias path, flash_attn_triton.py:51-497). Arbitrary dense `bias` is not
@@ -130,10 +221,47 @@ def flash_attention(
 
     b, s, h, d = q.shape
     t = k.shape[1]
+    if bq is None:
+        bq = 512
+    if bkv is None:
+        bkv = 2048 if t >= 2048 else 1024
     bq = min(bq, max(8, 1 << (s - 1).bit_length()))
     bkv = min(bkv, max(128, 1 << (t - 1).bit_length()))
     scale = d**-0.5
     alibi = alibi_slopes is not None
+
+    # head-group-packed fast path: no transposes, full 128-lane blocks
+    gsize = 128 // d if d in (64, 128) else 0
+    if not alibi and gsize and h % gsize == 0:
+        hg = h // gsize
+        qb = _pad_to(q.reshape(b, s, h * d), 1, bq)
+        kb = _pad_to(k.reshape(b, t, h * d), 1, bkv)
+        vb = _pad_to(v.reshape(b, t, h * d), 1, bkv)
+        s_pad, t_pad = qb.shape[1], kb.shape[1]
+        grid = (b * hg, s_pad // bq, t_pad // bkv)
+        kernel = functools.partial(
+            _attn_kernel_packed, scale=scale, kv_len=t, bq=bq, bkv=bkv, d=d,
+            gsize=gsize, causal=causal, ragged=(t_pad != t),
+        )
+        gd = gsize * d
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, gd), lambda g, i, j: (g // hg, i, g % hg)),
+                pl.BlockSpec((1, bkv, gd), lambda g, i, j: (g // hg, j, g % hg)),
+                pl.BlockSpec((1, bkv, gd), lambda g, i, j: (g // hg, j, g % hg)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, gd), lambda g, i, j: (g // hg, i, g % hg)),
+            out_shape=jax.ShapeDtypeStruct(qb.shape, q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bq, gd), jnp.float32),
+                pltpu.VMEM((bq, gd), jnp.float32),
+                pltpu.VMEM((bq, gd), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qb, kb, vb)
+        return out[:, :s].reshape(b, s, h, d)
 
     # [B, S, H, D] -> [B*H, S, D]
     qb = _pad_to(q.transpose(0, 2, 1, 3).reshape(b * h, s, d), 1, bq)

@@ -89,3 +89,23 @@ def test_flash_alibi_noncausal_matches_xla():
     ref = dot_product_attention(q, k, v, impl="xla", alibi_slopes=slopes)
     out = flash_attention(q, k, v, alibi_slopes=slopes, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_packed_head_groups():
+    """The head-group-packed path (even heads x d=64 -> 128-lane blocks) must
+    match XLA with masking (ragged kv) and causal diagonals."""
+    b, h, d = 2, 4, 64
+    for s, t, causal in [(256, 256, False), (256, 200, False), (250, 250, True)]:
+        q, k, v = _rand(10, (b, s, h, d)), _rand(11, (b, t, h, d)), _rand(12, (b, t, h, d))
+        want = _xla_attention(q, k, v, causal=causal)
+        got = flash_attention(q, k, v, causal=causal, bq=128, bkv=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_flash_adaptive_block_defaults():
+    """bq/bkv=None picks shape-adaptive blocks; result must not depend on them."""
+    b, h, d = 1, 2, 64
+    q, k, v = _rand(13, (b, 300, h, d)), _rand(14, (b, 300, h, d)), _rand(15, (b, 300, h, d))
+    a = flash_attention(q, k, v, interpret=True)
+    bref = flash_attention(q, k, v, bq=64, bkv=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bref), atol=2e-3)
