@@ -113,6 +113,60 @@ class Conversation:
         """Decode stop string (mm_utils KeywordsStoppingCriteria contract)."""
         return self.sep if self.sep_style == SeparatorStyle.SINGLE else self.sep2
 
+    @staticmethod
+    def process_image(image, image_process_mode: str):
+        """Apply the chat-UI image mode then the 800/400 downscale rule
+        (conversation.py:117-149): Pad squares on the CLIP mean color,
+        Resize forces 336x336, Default/Crop pass through; any image whose
+        long edge exceeds the aspect-derived cap is Lanczos-free resized."""
+        from PIL import Image
+
+        if image_process_mode == "Pad":
+            w, h = image.size
+            if w != h:
+                side = max(w, h)
+                bg = Image.new(image.mode, (side, side), (122, 116, 104))
+                bg.paste(image, ((side - w) // 2, (side - h) // 2))
+                image = bg
+        elif image_process_mode in ("Default", "Crop"):
+            pass
+        elif image_process_mode == "Resize":
+            image = image.resize((336, 336))
+        else:
+            raise ValueError(f"Invalid image_process_mode: {image_process_mode}")
+        max_hw, min_hw = max(image.size), min(image.size)
+        aspect_ratio = max_hw / min_hw
+        max_len, min_len = 800, 400
+        shortest_edge = int(min(max_len / aspect_ratio, min_len, min_hw))
+        longest_edge = int(shortest_edge * aspect_ratio)
+        w, h = image.size
+        if longest_edge != max(image.size):
+            if h > w:
+                h, w = longest_edge, shortest_edge
+            else:
+                h, w = shortest_edge, longest_edge
+            image = image.resize((w, h))
+        return image
+
+    def get_images(self, return_pil: bool = False) -> list:
+        """Collect processed images from user turns (conversation.py:109-157);
+        returns PIL images or base64 PNG strings."""
+        images = []
+        for i, (_role, msg) in enumerate(self.messages[self.offset:]):
+            if i % 2 == 0 and isinstance(msg, tuple):
+                _txt, image, mode = (list(msg) + ["Default"])[:3]
+                image = self.process_image(image, mode)
+                if return_pil:
+                    images.append(image)
+                else:
+                    import base64
+                    from io import BytesIO
+
+                    buf = BytesIO()
+                    image.save(buf, format="PNG")
+                    images.append(base64.b64encode(buf.getvalue()).decode())
+        return images
+
     def copy(self) -> "Conversation":
         return Conversation(
             system=self.system,

@@ -76,3 +76,37 @@ def test_copy_is_independent():
     c = ours.conv_templates["vicuna_v1"].copy()
     c.append_message(c.roles[0], "x")
     assert not ours.conv_templates["vicuna_v1"].messages
+
+
+def test_get_images_modes():
+    """Pad/Resize/downscale behavior of Conversation.get_images
+    (reference conversation.py:109-157)."""
+    from PIL import Image
+
+    from supir_tpu.captioner.conversation import conv_templates
+
+    conv = conv_templates["vicuna_v1"].copy()
+    img = Image.new("RGB", (1000, 500), (10, 20, 30))
+    conv.append_message(conv.roles[0], ("what is this? <image>", img, "Pad"))
+    conv.append_message(conv.roles[1], None)
+    (out,) = conv.get_images(return_pil=True)
+    # Pad squares to 1000x1000 then downscale: aspect 1, cap 400
+    assert out.size == (400, 400)
+    assert out.getpixel((0, 0)) == (122, 116, 104)  # CLIP mean background
+
+    conv = conv_templates["vicuna_v1"].copy()
+    conv.append_message(conv.roles[0], ("x", Image.new("RGB", (64, 64)), "Resize"))
+    conv.append_message(conv.roles[1], None)
+    (out,) = conv.get_images(return_pil=True)
+    assert out.size == (336, 336)
+
+    conv = conv_templates["vicuna_v1"].copy()
+    conv.append_message(conv.roles[0], ("x", Image.new("RGB", (1600, 400)), "Default"))
+    conv.append_message(conv.roles[1], None)
+    (out,) = conv.get_images(return_pil=True)
+    # aspect 4: shortest = min(800/4, 400, 400) = 200 -> (800, 200)
+    assert out.size == (800, 200)
+    # base64 round-trip
+    b64 = conv.get_images()[0]
+    import base64, io
+    assert Image.open(io.BytesIO(base64.b64decode(b64))).size == (800, 200)
