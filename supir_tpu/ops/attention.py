@@ -45,7 +45,7 @@ def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto",
     plain XLA otherwise. SUPIR_ATTN_IMPL=xla|flash overrides "auto";
     SUPIR_FLASH_MIN_SEQ moves the crossover. Measured on v5e (full SUPIR
     pipeline, 1024px 50 steps): all-XLA 12.08 s, flash>=2048 10.11 s,
-    flash>=1024 (default) 9.07 s.
+    flash>=1024 (default) 9.07 s — 8.82 s with the head-packed kernel.
     """
     if impl == "auto":
         import os

@@ -98,3 +98,40 @@ def test_tokenizer_fallback_contract():
     assert (ids.max(axis=1) <= 49407).all()
     # deterministic
     np.testing.assert_array_equal(ids, tokenize(["a photo of a cat", ""]))
+
+
+def test_file_utils(tmp_path):
+    """load_file_list / list_image_files / cached load_file_from_url
+    (SUPIR/utils/file.py parity)."""
+    from supir_tpu.utils.file import (
+        list_image_files,
+        load_file_from_url,
+        load_file_list,
+    )
+
+    lst = tmp_path / "files.txt"
+    lst.write_text("a.png\n\n  b.jpg  \n")
+    assert load_file_list(str(lst)) == ["a.png", "b.jpg"]
+
+    (tmp_path / "sub").mkdir()
+    for name in ["x.PNG", "y.jpeg", "z.txt", "sub/w.jpg"]:
+        (tmp_path / name).write_bytes(b"")
+    found = sorted(list_image_files(str(tmp_path)))
+    assert [f.split("/")[-1] for f in found] == sorted(["x.PNG", "y.jpeg", "w.jpg"])
+    assert len(list_image_files(str(tmp_path), max_size=2)) == 2
+
+    # cached hit needs no network; miss in offline mode raises with the path
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    (cache / "model.ckpt").write_bytes(b"w")
+    got = load_file_from_url("http://x/y/model.ckpt", model_dir=str(cache))
+    assert got.endswith("model.ckpt")
+    import os
+    import pytest
+
+    os.environ["SUPIR_OFFLINE"] = "1"
+    try:
+        with pytest.raises(FileNotFoundError):
+            load_file_from_url("http://x/y/missing.ckpt", model_dir=str(cache))
+    finally:
+        os.environ.pop("SUPIR_OFFLINE")
