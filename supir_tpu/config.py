@@ -126,7 +126,8 @@ class _ScaledControlConfig(ControlConfig):
     base: ControlConfig = None
 
     def _scale(self, vals):
-        r = self.unet.model_channels / 320.0
+        # base channel of the mode table (320 for XL-base, 384 for XL-refine)
+        r = self.unet.model_channels / float(self.base.cond_output_channels[0])
         return tuple(int(v * r) for v in vals)
 
     @property

@@ -113,3 +113,40 @@ def test_control_scale_zero_matches_plain_path(keys):
     # ZeroCrossAttn residual is scaled by control_scale too, so scale=0 makes
     # the whole decoder independent of the control features
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out0b), atol=2e-4)
+
+
+def test_xl_refine_mode_exercised(keys):
+    """XL-refine tables (SUPIR_v0.py:553-558) drive a working 4-level
+    control+UNet pair: 13-feature pyramid, 3 ZeroCrossAttn inserts at
+    (9,6,3), refiner-shaped decoder consumes it."""
+    import dataclasses
+
+    from supir_tpu.config import ControlConfig, UNetConfig
+
+    unet_cfg = UNetConfig(
+        model_channels=64,
+        channel_mult=(1, 2, 4, 4),
+        transformer_depth=(1, 1, 2, 2),
+        attention_resolutions=(4, 2),
+        num_head_channels=32,
+        context_dim=64,
+        adm_in_channels=96,
+    )
+    ctrl_cfg = ControlConfig(mode="XL-refine").scaled_for(unet_cfg)
+    assert ctrl_cfg.cond_output_channels == tuple([64] * 4 + [128] * 3 + [256] * 6)
+    assert ctrl_cfg.cross_attn_insert_idx == (9, 6, 3)
+
+    ctrl_net = GLVControl(unet_cfg)
+    unet = LightGLVUNet(unet_cfg, ctrl_cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    xt = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, unet_cfg.context_dim))
+    y = jnp.zeros((1, unet_cfg.adm_in_channels))
+    cparams = ctrl_net.init(keys[7], x, t, xt, ctx, y)
+    control = ctrl_net.apply(cparams, x, t, xt, ctx, y)
+    assert len(control) == 13
+    assert tuple(f.shape[-1] for f in control) == ctrl_cfg.cond_output_channels
+    uparams = unet.init(keys[0], xt, t, ctx, y, control)
+    out = unet.apply(uparams, xt, t, ctx, y, control, 1.0)
+    assert out.shape == (1, 16, 16, 4)
