@@ -15,12 +15,14 @@ BASELINE.md (v5e-8); >1.0 means faster than target. Note the target is for
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 TARGET_SECONDS = 10.0
 
@@ -49,12 +51,27 @@ def main():
                     help="sharded-inference mode: 'dp,tile' counts, e.g. "
                          "'1,4' shards sampler tiles over 4 devices "
                          "(virtual CPU devices if real chips are scarce)")
+    ap.add_argument("--full4k", action="store_true",
+                    help="END-TO-END tiled restoration at 4096^2 on one "
+                         "chip: tiled-VAE stage1 + tiled sampler (49 tiles, "
+                         "chunked) + tiled decode + colorfix")
+    ap.add_argument("--tile_chunk", type=int, default=8,
+                    help="tiles folded per denoiser call in --full4k")
+    ap.add_argument("--captioner", action="store_true",
+                    help="LLaVA-13B captioner decode throughput (quantized "
+                         "random weights; tokens/s on one chip)")
+    ap.add_argument("--bits", type=int, default=4, choices=(4, 8),
+                    help="weight quantization for --captioner")
     args = ap.parse_args()
 
     if args.vae4k:
         return bench_vae(4096, ref_enc=50.0, ref_dec=200.0)
     if args.vae8k:
         return bench_vae(8192, ref_enc=200.0, ref_dec=900.0)
+    if args.full4k:
+        return bench_full4k(args)
+    if args.captioner:
+        return bench_captioner(args)
     if args.mesh:
         return bench_sharded(args)
 
@@ -145,6 +162,172 @@ def main():
         )
     except Exception:
         pass
+
+
+def bench_captioner(args):
+    """LLaVA-13B caption throughput on one chip: CLIP-L/336 vision tower +
+    projector + 13B llama decode with int4/int8 weights (weight VALUES are
+    irrelevant to throughput, so the quantized tree is built abstractly via
+    eval_shape + zeros — 13B bf16 would not even fit in 16 GB HBM).
+    Reference path: llava_agent.py:65-103 with builder.py:29-38 bitsandbytes
+    quantization."""
+    import dataclasses as dc
+
+    from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig, MMProjector
+    from supir_tpu.captioner.llama import _PROJ_NAMES, LlamaForCausalLM
+    from supir_tpu.captioner.vision import CLIPVisionTower
+
+    on_tpu = jax.default_backend() == "tpu"
+    new_tokens = 64
+    if on_tpu:
+        cfg = CaptionerConfig.from_hf_config({})  # llava-v1.5-13b dims
+        cfg = dc.replace(cfg, max_new_tokens=new_tokens, cache_len=768)
+        model_name = "13B"
+    else:
+        cfg = CaptionerConfig.tiny()
+        new_tokens = cfg.max_new_tokens
+        model_name = "tiny(cpu smoke)"
+
+    bits = args.bits
+    vision = CLIPVisionTower(cfg.vision)
+    llama = LlamaForCausalLM(cfg.llama)
+    proj = MMProjector.module(cfg.llama.dim)
+    k = jax.random.PRNGKey(0)
+    img0 = jax.ShapeDtypeStruct((1, cfg.vision.image_size, cfg.vision.image_size, 3), jnp.float32)
+    feats0 = jax.ShapeDtypeStruct((1, cfg.vision.num_patches, cfg.vision.width), jnp.float32)
+    ids0 = jax.ShapeDtypeStruct((1, 4), jnp.int32)
+    vp_s = jax.eval_shape(vision.init, k, img0)["params"]
+    pp_s = jax.eval_shape(proj.init, k, feats0)["params"]
+    lp_s = jax.eval_shape(
+        functools.partial(llama.init, method=llama.forward_ids), k, ids0, ids0
+    )["params"]
+
+    def zeros(tree):
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+            tree,
+        )
+
+    def quantized(node):
+        if not isinstance(node, dict):
+            return zeros(node)
+        out = {}
+        for key, v in node.items():
+            if key in _PROJ_NAMES and isinstance(v, dict) and "Dense_0" in v:
+                cin, cout = v["Dense_0"]["kernel"].shape
+                if bits == 4:
+                    out[key] = {
+                        "q4": jnp.zeros((cin // 2, cout), jnp.uint8),
+                        "scale": jnp.ones((1, cout), jnp.float32),
+                    }
+                else:
+                    out[key] = {
+                        "q": jnp.zeros((cin, cout), jnp.int8),
+                        "scale": jnp.ones((1, cout), jnp.float32),
+                    }
+            else:
+                out[key] = quantized(v)
+        return out
+
+    params = {"vision": zeros(vp_s), "projector": zeros(pp_s), "llama": quantized(lp_s)}
+    qcfg = dc.replace(
+        cfg, llama=dc.replace(cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4)
+    )
+    agent = CaptionerAgent(qcfg, params)
+
+    img = np.zeros((336, 336, 3), np.uint8)
+    t0 = time.perf_counter()
+    agent.gen_image_caption([img], temperature=0.0)  # compile + warm
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    agent.gen_image_caption([img], temperature=0.0)
+    dt = time.perf_counter() - t0
+    tps = new_tokens / dt
+    label = (
+        f"captioner decode tokens/s (llava {model_name}, int{bits} weights, "
+        f"{new_tokens} new tokens incl. vision prefill, 1 "
+        f"{jax.default_backend()} chip)"
+    )
+    print(json.dumps({
+        "metric": label,
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": 0.0,
+    }))
+    print(f"caption wall: {dt:.2f}s for {new_tokens} tokens "
+          f"(compile+warm {t_compile:.1f}s)", file=sys.stderr)
+
+
+def bench_full4k(args):
+    """Single-chip end-to-end 4K restoration: tiled-VAE stage-1 encode +
+    decode/re-encode, tiled diffusion sampler (latent tile 128 / stride 64
+    -> 49 tiles at 4096^2, `--tile_chunk` tiles per denoiser call to fit
+    HBM), tiled VAE decode, wavelet fix. The reference's only published 4K
+    numbers are the tiled-VAE times (~250 s at 4096^2 on CUDA,
+    tilevae.py:25-27); vs_baseline is measured against that VAE-only
+    figure, i.e. a LOWER bound on the reference's full-pipeline time."""
+    from supir_tpu.config import SUPIRConfig
+    from supir_tpu.engine.factory import create_engine, tiny_test_config
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = SUPIRConfig(ae_dtype="bf16", diffusion_dtype="bf16")
+        size, steps = 4096, args.steps
+        tile_size, tile_stride = 128, 64
+        enc_tile, dec_tile = 512, 64  # proven single-chip tiling (--vae4k)
+        ref_vae_only = 250.0
+    else:  # CPU smoke of the same code path
+        cfg, _ = tiny_test_config()
+        size, steps = 128, min(args.steps, 2)
+        tile_size, tile_stride = 8, 4
+        enc_tile, dec_tile = 64, 8
+        ref_vae_only = 250.0
+
+    engine = create_engine(
+        cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
+        param_dtype=jnp.bfloat16 if on_tpu else None,
+    )
+    engine.init_tile_vae(encoder_tile_size=enc_tile, decoder_tile_size=dec_tile)
+
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.uniform(rng, (1, size, size, 3), jnp.float32, -1.0, 1.0)
+    c = {
+        "crossattn": jax.random.normal(rng, (1, 77, cfg.unet.context_dim), jnp.float32),
+        "vector": jax.random.normal(rng, (1, cfg.unet.adm_in_channels), jnp.float32),
+    }
+    uc = dict(c)
+
+    def run(seed):
+        z = engine.encode_first_stage_with_denoise(x)
+        cc = dict(c, control=z)
+        uu = dict(uc, control=z)
+        out = engine.batchify_sample_tiled(
+            x, cc, uu, num_steps=steps, tile_size=tile_size,
+            tile_stride=tile_stride, restoration_scale=4.0, cfg_scale=4.0,
+            use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,
+            color_fix_type="Wavelet", seed=seed, z_override=z,
+            tile_chunk=args.tile_chunk,
+        )
+        jax.device_get(out[0, :1, :1, 0])
+        return out
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    run(1)
+    dt = time.perf_counter() - t0
+    label = (
+        f"sec/image {size}px {steps} EDM steps FULL tiled pipeline "
+        f"(tile {tile_size}/{tile_stride}, chunk {args.tile_chunk}, 1 "
+        f"{jax.default_backend()} chip; tiled-VAE stage1+sample+decode+"
+        f"colorfix; text towers/captioner excluded; baseline = reference "
+        f"4K tiled-VAE time alone)"
+    )
+    print(json.dumps({
+        "metric": label,
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(ref_vae_only / dt, 3),
+    }))
 
 
 def bench_sharded(args):

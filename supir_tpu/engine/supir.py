@@ -113,23 +113,29 @@ class SUPIREngine:
     # tiled-VAE mode (reference init_tile_vae, SUPIR_model.py:138-151)
     _tile_vae = None
 
-    def init_tile_vae(self, encoder_tile_size: int = 512, decoder_tile_size: int = 64):
+    def init_tile_vae(self, encoder_tile_size: int = 512, decoder_tile_size: int = 64,
+                      chunk: Optional[Tuple[int, int]] = (8, 4)):
         """Switch first-stage encode/decode to the tiled (sharded) path.
-        encoder_tile_size in image px, decoder_tile_size in latent px."""
-        self._tile_vae = (encoder_tile_size, decoder_tile_size)
+        encoder_tile_size in image px, decoder_tile_size in latent px.
+        `chunk` = (encode, decode) tiles per call on the single-chip path
+        (ignored under a tile mesh); None folds all tiles at once."""
+        self._tile_vae = (encoder_tile_size, decoder_tile_size, chunk)
 
     @functools.lru_cache(maxsize=8)
-    def _tiled_vae_fns(self, enc_tile: int, dec_tile: int, mesh_key=None):
+    def _tiled_vae_fns(self, enc_tile: int, dec_tile: int, chunk=None, mesh_key=None):
         from supir_tpu.parallel.tiled_vae import tiled_decode, tiled_encode
 
         mesh = self._tiled_mesh
         cfg = self.cfg
+        # chunking is the single-chip HBM bound; under a tile mesh the
+        # shard_map path manages its own per-device tile count
+        enc_chunk, dec_chunk = chunk if (chunk and mesh is None) else (None, None)
 
         def enc(params, x, use_denoise):
             enc_params = params["vae"]["denoise_encoder" if use_denoise else "encoder"]
             moments = tiled_encode(
                 cfg.vae, enc_params, params["vae"]["quant_conv"], x,
-                tile_size=enc_tile, pad=32, mesh=mesh,
+                tile_size=enc_tile, pad=32, mesh=mesh, chunk=enc_chunk,
             )
             z = DiagonalGaussian(moments).mode()
             return (z * cfg.scale_factor).astype(jnp.float32)
@@ -138,6 +144,7 @@ class SUPIREngine:
             out = tiled_decode(
                 cfg.vae, params["vae"]["decoder"], params["vae"]["post_quant_conv"],
                 z / cfg.scale_factor, tile_size=dec_tile, pad=8, mesh=mesh,
+                chunk=dec_chunk,
             )
             return out.astype(jnp.float32)
 
@@ -345,6 +352,7 @@ class SUPIREngine:
     def _tiled_sample_fn(
         self, num_steps: int, s_noise: float, tile_size: int, tile_stride: int,
         local_prompts: bool, mesh_key=None, sampler_name: str = "TiledRestoreEDM",
+        tile_chunk: Optional[int] = None,
     ):
         from supir_tpu.parallel.tiled_sampler import (
             make_tiled_denoise,
@@ -382,7 +390,9 @@ class SUPIREngine:
                 d_uc, d_c = jnp.split(den, 2, axis=0)
                 return cfg_combine(d_uc, d_c, cfg_b)
 
-            denoise_tile = make_tiled_denoise(denoise_flat, mesh=mesh)
+            denoise_tile = make_tiled_denoise(
+                denoise_flat, mesh=mesh, tile_chunk=tile_chunk
+            )
             from supir_tpu.parallel.tiled_sampler import _gather_tiles, make_tile_plan
 
             starts, _, _ = make_tile_plan(
@@ -434,10 +444,12 @@ class SUPIREngine:
         control_scale_start: float = 0.0,
         z_override: Optional[jnp.ndarray] = None,
         sampler_name: Optional[str] = None,
+        tile_chunk: Optional[int] = None,
     ) -> jnp.ndarray:
         """Tiled restore pipeline (reference TiledRestoreEDMSampler /
         TiledRestoreDPMPP2MSampler, sampling.py:600-730): 4K+ outputs,
-        tiles batched or sharded over the 'tile' mesh axis."""
+        tiles batched or sharded over the 'tile' mesh axis; `tile_chunk`
+        bounds tiles-per-denoiser-call for single-chip HBM at 4K+."""
         import dataclasses as dc
 
         cfg = self.cfg
@@ -478,7 +490,7 @@ class SUPIREngine:
         fn = self._tiled_sample_fn(
             num_steps, s_noise, tile_size, tile_stride, local_prompts,
             mesh_key=id(self._tiled_mesh) if self._tiled_mesh is not None else None,
-            sampler_name=sampler_name,
+            sampler_name=sampler_name, tile_chunk=tile_chunk,
         )
         samples_z = fn(self.params, noised_z, c, uc, z_stage1, tables, rng_sample)
         samples = self.decode_first_stage(samples_z)

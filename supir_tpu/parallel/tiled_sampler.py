@@ -218,6 +218,7 @@ def tiled_restore_dpmpp2m_sample(
 def make_tiled_denoise(
     denoise_flat: Callable,
     mesh: Optional[Mesh] = None,
+    tile_chunk: Optional[int] = None,
 ):
     """Lift a per-batch denoiser into a tile-axis denoiser.
 
@@ -226,7 +227,10 @@ def make_tiled_denoise(
 
     Without a mesh the tile axis is folded into the batch (one big MXU
     call); with a mesh carrying a 'tile' axis the fold happens per-shard
-    under shard_map.
+    under shard_map. `tile_chunk` bounds how many tiles fold into one call
+    (single-chip 4K+: 49 tiles x CFG2 at full width would blow HBM — the
+    reference runs tiles one-at-a-time, tilevae-style; we run them
+    `tile_chunk` at a time under `lax.map`).
     """
 
     def folded(x_tiles, sigma, cfg, ctrl_s, control_tiles, crossattn_tiles):
@@ -242,8 +246,40 @@ def make_tiled_denoise(
         out = denoise_flat(flat, sig, cfg_t, ctrl_s, ctrl, ca)
         return out.reshape(x_tiles.shape)
 
+    def chunked(x_tiles, sigma, cfg, ctrl_s, control_tiles, crossattn_tiles):
+        t = x_tiles.shape[0]
+        if t <= tile_chunk:
+            return folded(x_tiles, sigma, cfg, ctrl_s, control_tiles,
+                          crossattn_tiles)
+        pad = (-t) % tile_chunk
+        if pad:
+            x_tiles = jnp.concatenate([x_tiles, x_tiles[-pad:]], 0)
+            control_tiles = jnp.concatenate([control_tiles, control_tiles[-pad:]], 0)
+            if crossattn_tiles is not None:
+                crossattn_tiles = jnp.concatenate(
+                    [crossattn_tiles, crossattn_tiles[-pad:]], 0
+                )
+        ng = (t + pad) // tile_chunk
+        xg = x_tiles.reshape((ng, tile_chunk) + x_tiles.shape[1:])
+        cg = control_tiles.reshape((ng, tile_chunk) + control_tiles.shape[1:])
+        if crossattn_tiles is None:
+            out = jax.lax.map(
+                lambda ab: folded(ab[0], sigma, cfg, ctrl_s, ab[1], None),
+                (xg, cg),
+            )
+        else:
+            cag = crossattn_tiles.reshape(
+                (ng, tile_chunk) + crossattn_tiles.shape[1:]
+            )
+            out = jax.lax.map(
+                lambda ab: folded(ab[0], sigma, cfg, ctrl_s, ab[1], ab[2]),
+                (xg, cg, cag),
+            )
+        out = out.reshape((ng * tile_chunk,) + out.shape[2:])
+        return out[:t]
+
     if mesh is None or "tile" not in getattr(mesh, "shape", {}) or mesh.shape["tile"] <= 1:
-        return folded
+        return chunked if tile_chunk else folded
 
     def sharded(x_tiles, sigma, cfg, ctrl_s, control_tiles, crossattn_tiles):
         t = x_tiles.shape[0]

@@ -91,18 +91,14 @@ def _run_tiles(module, params, tiles, mesh: Optional[Mesh], chunk: Optional[int]
 
     if not use_mesh:
         if chunk is not None and tiles.shape[0] > chunk:
-            local_jit = jax.jit(local_fn)
-            outs = []
-            t = tiles.shape[0]
-            for i in range(0, t, chunk):
-                grp = tiles[i : i + chunk]
-                if grp.shape[0] < chunk:  # pad to avoid a second compile
-                    pad = chunk - grp.shape[0]
-                    grp = jnp.concatenate([grp, jnp.repeat(grp[-1:], pad, 0)], 0)
-                    outs.append(local_jit(params, grp)[: t - i])
-                else:
-                    outs.append(local_jit(params, grp))
-            return jnp.concatenate(outs, axis=0)
+            # groups run under lax.map: ONE compile, and only one group's
+            # activations are ever live — works standalone AND inside an
+            # outer jit (a python loop would unroll there and blow HBM)
+            tiles_p, t_orig = _pad_tile_axis(tiles, chunk)
+            ng = tiles_p.shape[0] // chunk
+            grps = tiles_p.reshape((ng, chunk) + tiles_p.shape[1:])
+            out = jax.lax.map(lambda g: local_fn(params, g), grps)
+            return out.reshape((ng * chunk,) + out.shape[2:])[:t_orig]
         return local_fn(params, tiles)
 
     tiles, t_orig = _pad_tile_axis(tiles, mesh.shape["tile"])

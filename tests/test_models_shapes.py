@@ -115,6 +115,7 @@ def test_control_scale_zero_matches_plain_path(keys):
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out0b), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_xl_refine_mode_exercised(keys):
     """XL-refine tables (SUPIR_v0.py:553-558) drive a working 4-level
     control+UNet pair: 13-feature pyramid, 3 ZeroCrossAttn inserts at

@@ -107,3 +107,48 @@ def test_engine_tiled_pipeline():
     )
     assert out2.shape == x2.shape
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_tile_chunk_matches_folded():
+    """tile_chunk bounds tiles-per-call (single-chip 4K HBM); results must
+    be identical to the one-big-fold path, including ragged chunking and
+    per-tile prompts."""
+
+    def denoise_flat(x, sigma, cfg, ctrl_s, control, ca):
+        out = x * 0.9 + control * 0.1 + sigma[:, None, None, None] * 0.01
+        if ca is not None:
+            out = out + jnp.mean(ca, axis=(1, 2))[:, None, None, None]
+        return out
+
+    t, b = 9, 2  # 9 tiles: ragged for chunk=4
+    key = jax.random.PRNGKey(0)
+    x_tiles = jax.random.normal(key, (t, b, 8, 8, 4))
+    ctrl = jax.random.normal(jax.random.fold_in(key, 1), (t, b, 8, 8, 4))
+    ca = jax.random.normal(jax.random.fold_in(key, 2), (t, b, 7, 5))
+    sigma = jnp.full((b,), 3.0)
+    cfg = jnp.full((b,), 2.0)
+
+    folded = make_tiled_denoise(denoise_flat)
+    for chunk in (4, 3, 16):
+        chunked = make_tiled_denoise(denoise_flat, tile_chunk=chunk)
+        for cat in (None, ca):
+            want = folded(x_tiles, sigma, cfg, 1.0, ctrl, cat)
+            got = chunked(x_tiles, sigma, cfg, 1.0, ctrl, cat)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-6
+            )
+
+
+@pytest.mark.slow
+def test_engine_tiled_pipeline_chunked():
+    """engine path with tile_chunk set produces the same image as without."""
+    cfg, cond_cfg = tiny_test_config()
+    engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
+    x = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 3)) * 0.3, -1, 1)
+    z = engine.encode_first_stage_with_denoise(x)
+    tok = jax.random.randint(jax.random.PRNGKey(3), (1, 77), 0, 49408)
+    c, uc = engine.prepare_condition(z, tok, tok, tok, tok)
+    kw = dict(num_steps=2, tile_size=8, tile_stride=4, seed=1)
+    want = engine.batchify_sample_tiled(x, c, uc, **kw)
+    got = engine.batchify_sample_tiled(x, c, uc, tile_chunk=4, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

@@ -59,6 +59,7 @@ def test_stage2_runs(demo):
     assert img.size[0] >= 64
 
 
+@pytest.mark.slow
 def test_model_hot_swap():
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
