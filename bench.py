@@ -55,8 +55,11 @@ def main():
                     help="END-TO-END tiled restoration at 4096^2 on one "
                          "chip: tiled-VAE stage1 + tiled sampler (49 tiles, "
                          "chunked) + tiled decode + colorfix")
-    ap.add_argument("--tile_chunk", type=int, default=8,
+    ap.add_argument("--tile_chunk", type=int, default=4,
                     help="tiles folded per denoiser call in --full4k")
+    ap.add_argument("--steps_per_call", type=int, default=5,
+                    help="sampler steps per XLA program in --full4k (the "
+                         "remote runtime kills executions past ~5 min)")
     ap.add_argument("--captioner", action="store_true",
                     help="LLaVA-13B captioner decode throughput (quantized "
                          "random weights; tokens/s on one chip)")
@@ -287,7 +290,10 @@ def bench_full4k(args):
         cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
         param_dtype=jnp.bfloat16 if on_tpu else None,
     )
-    engine.init_tile_vae(encoder_tile_size=enc_tile, decoder_tile_size=dec_tile)
+    # small VAE chunks: the flaky tunneled chip rejects allocations well
+    # below nominal HBM capacity, so keep every stage's peak modest
+    engine.init_tile_vae(encoder_tile_size=enc_tile, decoder_tile_size=dec_tile,
+                         chunk=(2, 2))
 
     rng = jax.random.PRNGKey(1)
     x = jax.random.uniform(rng, (1, size, size, 3), jnp.float32, -1.0, 1.0)
@@ -306,7 +312,7 @@ def bench_full4k(args):
             tile_stride=tile_stride, restoration_scale=4.0, cfg_scale=4.0,
             use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,
             color_fix_type="Wavelet", seed=seed, z_override=z,
-            tile_chunk=args.tile_chunk,
+            tile_chunk=args.tile_chunk, steps_per_call=args.steps_per_call,
         )
         jax.device_get(out[0, :1, :1, 0])
         return out

@@ -140,6 +140,47 @@ def score_main(cmd, argv):
             for r in rows:
                 f.write(json.dumps(r) + "\n")
         print(json.dumps(evals.summarize_reviews(rows)))
+    elif cmd == "report":
+        # static results page from metric JSONs / review JSONLs — the
+        # analogue of llava/eval's results tables + webpage
+        # (summarize_gpt_review.py, generate_webpage_data_from_table.py)
+        ap.add_argument("--dir", required=True,
+                        help="directory of *.json metric dicts and "
+                             "review_*.jsonl pairwise review rows")
+        ap.add_argument("--output", required=True, help="output .html path")
+        a = ap.parse_args(argv)
+        sections = []
+        for fn in sorted(os.listdir(a.dir)):
+            path = os.path.join(a.dir, fn)
+            if fn.endswith(".jsonl") and "review" in fn:
+                with open(path) as f:
+                    rows = [json.loads(l) for l in f if l.strip()]
+                sections.append((fn, evals.summarize_reviews(rows)))
+            elif fn.endswith(".json"):
+                with open(path) as f:
+                    sections.append((fn, json.load(f)))
+        html = ["<!doctype html><html><head><title>supir-tpu eval report"
+                "</title><style>body{font-family:sans-serif;max-width:720px;"
+                "margin:2em auto}table{border-collapse:collapse}"
+                "td,th{border:1px solid #999;padding:.3em .6em}</style>"
+                "</head><body><h1>supir-tpu eval report</h1>"]
+
+        def render(val):
+            if isinstance(val, dict):
+                rows = "".join(
+                    f"<tr><th>{k}</th><td>{render(v)}</td></tr>"
+                    for k, v in val.items()
+                )
+                return f"<table>{rows}</table>"
+            return f"{val}"
+
+        for name, data in sections:
+            html.append(f"<h2>{name}</h2>{render(data)}")
+        html.append("</body></html>")
+        with open(a.output, "w") as f:
+            f.write("".join(html))
+        print(json.dumps({"sections": [s[0] for s in sections],
+                          "output": a.output}))
     else:
         raise SystemExit(f"unknown eval subcommand {cmd}")
 
@@ -149,7 +190,7 @@ def main(argv=None):
     import sys as _sys
 
     argv = list(_sys.argv[1:] if argv is None else argv)
-    if argv and argv[0].startswith(("score-", "review")):
+    if argv and argv[0].startswith(("score-", "review", "report")):
         return score_main(argv[0], argv[1:])
 
     ap = argparse.ArgumentParser()

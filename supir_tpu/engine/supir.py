@@ -445,11 +445,14 @@ class SUPIREngine:
         z_override: Optional[jnp.ndarray] = None,
         sampler_name: Optional[str] = None,
         tile_chunk: Optional[int] = None,
+        steps_per_call: Optional[int] = None,
     ) -> jnp.ndarray:
         """Tiled restore pipeline (reference TiledRestoreEDMSampler /
         TiledRestoreDPMPP2MSampler, sampling.py:600-730): 4K+ outputs,
         tiles batched or sharded over the 'tile' mesh axis; `tile_chunk`
-        bounds tiles-per-denoiser-call for single-chip HBM at 4K+."""
+        bounds tiles-per-denoiser-call for single-chip HBM at 4K+;
+        `steps_per_call` segments the step scan into multiple programs
+        (EDM only) to bound single-program runtime."""
         import dataclasses as dc
 
         cfg = self.cfg
@@ -492,7 +495,34 @@ class SUPIREngine:
             mesh_key=id(self._tiled_mesh) if self._tiled_mesh is not None else None,
             sampler_name=sampler_name, tile_chunk=tile_chunk,
         )
-        samples_z = fn(self.params, noised_z, c, uc, z_stage1, tables, rng_sample)
+        if steps_per_call and steps_per_call < num_steps:
+            # run the step scan in segments of steps_per_call: bounds single-
+            # program runtime (remote runtimes can kill long executions) at
+            # identical math — tables are sliced exactly; only the noise
+            # stream differs (fresh fold per segment, still i.i.d.).
+            if sampler_name == "TiledRestoreDPMPP2M":
+                raise NotImplementedError(
+                    "steps_per_call segments the EDM tiled sampler only "
+                    "(DPM++2M carries old_denoised across steps)"
+                )
+            x_cur = noised_z
+            for seg, i in enumerate(range(0, num_steps, steps_per_call)):
+                seg_tables = jax.tree_util.tree_map(
+                    lambda a: a[i : i + steps_per_call], tables
+                )
+                seg_fn = self._tiled_sample_fn(
+                    int(len(seg_tables.sigma)), s_noise, tile_size, tile_stride,
+                    local_prompts,
+                    mesh_key=id(self._tiled_mesh) if self._tiled_mesh is not None else None,
+                    sampler_name=sampler_name, tile_chunk=tile_chunk,
+                )
+                x_cur = seg_fn(
+                    self.params, x_cur, c, uc, z_stage1, seg_tables,
+                    jax.random.fold_in(rng_sample, seg),
+                )
+            samples_z = x_cur
+        else:
+            samples_z = fn(self.params, noised_z, c, uc, z_stage1, tables, rng_sample)
         samples = self.decode_first_stage(samples_z)
         if color_fix_type == "Wavelet":
             samples = wavelet_reconstruction(samples, x_stage1)

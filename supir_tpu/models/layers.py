@@ -92,6 +92,15 @@ class GroupNorm32(nn.Module):
         g = self.num_groups
         cg = c // g
         b = x.shape[0]
+        import os
+
+        if os.environ.get("SUPIR_GN_BARRIER") == "1":
+            # A/B knob: stop XLA from fusing the stat reduces into the
+            # producing conv. Trace evidence (ARCHITECTURE.md roofline):
+            # convs with GN stats fused into their epilogue run at 67-73
+            # TF/s vs ~161 for clean convs; the barrier trades a separate
+            # bandwidth-bound stats pass for clean conv kernels.
+            x = jax.lax.optimization_barrier(x)
         xg = x.reshape(b, -1, g, cg)
         # NOTE: a single variadic lax.reduce for (mean, mean2) was tried and
         # measured SLOWER e2e (185.9 vs 176.3 ms/step): XLA's reduce-fusion

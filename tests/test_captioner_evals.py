@@ -183,3 +183,26 @@ def test_eval_cli_score_subcommands(tmp_path):
     with open(sr, "w") as f:
         f.write(json.dumps({"question_id": "1", "text": "The answer is A."}) + "\n")
     score_main("score-sqa", ["--base-dir", str(base), "--result-file", str(sr)])
+
+
+def test_report_subcommand(tmp_path, capsys):
+    """`eval report` renders metric JSONs + review JSONLs into one static
+    HTML page (llava/eval tables+webpage analogue)."""
+    import json
+
+    from supir_tpu.captioner.eval import score_main
+
+    (tmp_path / "textvqa.json").write_text(json.dumps({"accuracy": 0.51, "n": 20}))
+    rows = [
+        {"category": "detail", "tuple": [6.0, 8.0]},
+        {"category": "conv", "tuple": [7.0, 7.0]},
+    ]
+    (tmp_path / "review_pairwise.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+    out = tmp_path / "report.html"
+    score_main("report", ["--dir", str(tmp_path), "--output", str(out)])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["sections"] == ["review_pairwise.jsonl", "textvqa.json"]
+    html = out.read_text()
+    assert "accuracy" in html and "relative_pct" in html and "detail" in html

@@ -152,3 +152,23 @@ def test_engine_tiled_pipeline_chunked():
     want = engine.batchify_sample_tiled(x, c, uc, **kw)
     got = engine.batchify_sample_tiled(x, c, uc, tile_chunk=4, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_engine_tiled_steps_per_call():
+    """Segmented execution (steps_per_call) matches the sampler contract:
+    same tables, fresh-but-valid noise per segment; finite output of the
+    right shape, close to the one-shot run at low churn."""
+    cfg, cond_cfg = tiny_test_config()
+    engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
+    x = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 3)) * 0.3, -1, 1)
+    z = engine.encode_first_stage_with_denoise(x)
+    tok = jax.random.randint(jax.random.PRNGKey(3), (1, 77), 0, 49408)
+    c, uc = engine.prepare_condition(z, tok, tok, tok, tok)
+    kw = dict(num_steps=4, tile_size=8, tile_stride=4, seed=1, s_churn=0.0)
+    want = engine.batchify_sample_tiled(x, c, uc, **kw)
+    got = engine.batchify_sample_tiled(x, c, uc, steps_per_call=2, **kw)
+    assert got.shape == want.shape
+    assert np.isfinite(np.asarray(got)).all()
+    # with zero churn/noise the EDM path is deterministic -> exact match
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

@@ -72,32 +72,43 @@ def main():
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
 
-    # keep device-track complete events only
-    pid_names = {}
-    for ev in trace["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pid_names[ev["pid"]] = ev["args"].get("name", "")
-    durs = collections.Counter()
-    counts = collections.Counter()
+    # Roofline aggregation from the per-op HLO metadata the TPU profiler
+    # embeds in the event args: `hlo_category` is the TRUTH for bucketing
+    # (fusion NAMES lie — a "convert_multiply_fusion" is usually a conv),
+    # and bytes_accessed/model_flops give achieved GB/s and TF/s per op.
+    rows = {}
     total = 0.0
     for ev in trace["traceEvents"]:
         if ev.get("ph") != "X":
             continue
-        pname = pid_names.get(ev.get("pid"), "")
-        if "TPU" not in pname and "/device" not in pname.lower():
+        a = ev.get("args") or {}
+        if "hlo_category" not in a:
             continue
         name = ev.get("name", "?")
-        if name.startswith(("run_", "Infeed", "Outfeed")):
-            continue
-        dur = ev.get("dur", 0) / 1e3  # ms
-        durs[name] += dur
-        counts[name] += 1
-        total += dur
+        r = rows.setdefault(name, [0.0, 0, 0.0, 0.0, a.get("hlo_category", "")])
+        r[0] += ev.get("dur", 0) / 1e3  # ms
+        r[1] += 1
+        r[2] += float(a.get("bytes_accessed", 0) or 0)
+        r[3] += float(a.get("model_flops", 0) or 0)
+        total += ev.get("dur", 0) / 1e3
+
+    cats = {}
+    for name, (d, c, b, fl, cat) in rows.items():
+        e = cats.setdefault(cat, [0.0, 0, 0.0, 0.0])
+        e[0] += d; e[1] += c; e[2] += b; e[3] += fl
     print(f"total device time: {total:.2f} ms over 3 steps "
           f"({total/3:.2f} ms/step)")
-    print(f"{'ms/step':>9}  {'%':>5}  {'calls':>6}  op")
-    for name, d in durs.most_common(args.top):
-        print(f"{d/3:9.3f}  {100*d/total:5.1f}  {counts[name]:6d}  {name[:110]}")
+    print(f"\n{'category':28s} {'ms/step':>8s} {'calls/step':>10s} "
+          f"{'GB/s':>7s} {'TF/s':>6s}")
+    for cat, (d, c, b, fl) in sorted(cats.items(), key=lambda kv: -kv[1][0]):
+        if d <= 0:
+            continue
+        print(f"{cat:28s} {d/3:8.2f} {c/3:10.0f} "
+              f"{b/(d*1e-3)/1e9:7.0f} {fl/(d*1e-3)/1e12:6.1f}")
+    print(f"\n{'op':40s} {'ms/step':>8s} {'GB/s':>6s} {'TF/s':>6s}  category")
+    for name, (d, c, b, fl, cat) in sorted(rows.items(), key=lambda kv: -kv[1][0])[: args.top]:
+        print(f"{name[:40]:40s} {d/3:8.3f} {b/(d*1e-3)/1e9:6.0f} "
+              f"{fl/(d*1e-3)/1e12:6.1f}  {cat}")
 
 
 if __name__ == "__main__":
