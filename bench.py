@@ -184,7 +184,7 @@ def bench_captioner(args):
     new_tokens = 64
     if on_tpu:
         cfg = CaptionerConfig.from_hf_config({})  # llava-v1.5-13b dims
-        cfg = dc.replace(cfg, max_new_tokens=new_tokens, cache_len=768)
+        cfg = dc.replace(cfg, max_new_tokens=new_tokens, cache_len=1280)
         model_name = "13B"
     else:
         cfg = CaptionerConfig.tiny()

@@ -32,6 +32,9 @@ from supir_tpu.captioner.vision import (
 from supir_tpu.models.layers import Dense
 
 IMAGE_TOKEN_INDEX = -200
+# autoregressive decode steps per device program (host syncs between
+# chunks only; see CaptionerAgent._decode_tokens)
+_DECODE_CHUNK = 16
 DEFAULT_QUESTION = "Describe this image and its style in a very detailed manner."
 
 def vicuna_v1_prompt(question: str) -> str:
@@ -258,6 +261,43 @@ class CaptionerAgent:
 
     # ------------------------------------------------------------ generate
 
+    def _decode_tokens(
+        self, first_tok, plen: int, caches, seed: int,
+        temperature: float, top_p: float, eos_id: int,
+    ) -> np.ndarray:
+        """Chunked autoregressive decode -> [B, n] tokens (first included).
+
+        Runs `_DECODE_CHUNK` steps per device program and checks EOS on the
+        host between chunks: per-token host syncs cost ~0.5 s each through
+        a tunneled device. Greedy decode is token-identical to the
+        step-at-a-time loop; chunk tokens past EOS/max_new are dropped."""
+        cfg = self.cfg
+        _, _, decode_chunk = self._prefill_decode
+        rng = jax.random.PRNGKey(seed)
+        b = first_tok.shape[0]
+        first_host = np.asarray(first_tok)
+        outs = [first_host]
+        done = first_host == eos_id
+        tok = first_tok
+        n = 1
+        while n < cfg.max_new_tokens and not done.all():
+            pos0 = jnp.full((b,), plen + n - 1, jnp.int32)
+            rng, sub = jax.random.split(rng)
+            toks, caches = decode_chunk(
+                self.params, tok, pos0, caches, sub,
+                jnp.float32(temperature), jnp.float32(top_p),
+            )
+            tok = toks[-1]
+            for row in np.asarray(toks):  # [chunk, B]
+                if n >= cfg.max_new_tokens:
+                    break
+                outs.append(row)
+                done = done | (row == eos_id)
+                n += 1
+                if done.all():
+                    break
+        return np.stack(outs, axis=1)
+
     @functools.cached_property
     def _prefill_decode(self):
         llama = self.llama
@@ -298,7 +338,33 @@ class CaptionerAgent:
             )
             return next_tok, caches
 
-        return jax.jit(prefill), jax.jit(decode_step)
+        def decode_chunk(params, tok, pos0, caches, rng, temperature, top_p):
+            """`_DECODE_CHUNK` steps in ONE device program (lax.scan).
+
+            Per-token host round-trips dominate autoregressive decode on a
+            remote/tunneled device (measured 533 ms/token vs ~30 ms compute
+            at 13B-int4); chunking cuts syncs 16x. The KV caches are
+            donated so the ~1 GB cache tree updates in place."""
+
+            def body(carry, i):
+                tok, caches, rng = carry
+                rng, sub = jax.random.split(rng)
+                ntok, caches = decode_step(
+                    params, tok[:, None], pos0 + i, caches, sub,
+                    temperature, top_p,
+                )
+                return (ntok, caches, rng), ntok
+
+            (tok, caches, rng), toks = jax.lax.scan(
+                body, (tok, caches, rng), jnp.arange(_DECODE_CHUNK)
+            )
+            return toks, caches  # toks: [chunk, B]
+
+        return (
+            jax.jit(prefill, donate_argnums=(3,)),
+            jax.jit(decode_step),
+            jax.jit(decode_chunk, donate_argnums=(3,)),
+        )
 
     def _encode_image(self, images_uint8) -> jnp.ndarray:
         pixels = preprocess_images(images_uint8, self.cfg.vision.image_size)
@@ -338,30 +404,17 @@ class CaptionerAgent:
         plen = embeds.shape[1]
         assert plen + cfg.max_new_tokens <= cfg.cache_len, "cache too small"
 
-        prefill, decode_step = self._prefill_decode
+        prefill, _, _ = self._prefill_decode
         caches = self.llama.init_cache(b, cfg.cache_len)
         positions = jnp.broadcast_to(jnp.arange(plen), (b, plen))
         logits, caches = prefill(self.params, embeds, positions, caches)
 
-        rng = jax.random.PRNGKey(seed)
         tok = jnp.argmax(logits, axis=-1)
-        outs = [np.asarray(tok)]
-        done = np.zeros(b, bool)
-        for i in range(cfg.max_new_tokens - 1):
-            pos = jnp.full((b,), plen + i, jnp.int32)
-            rng, sub = jax.random.split(rng)
-            tok, caches = decode_step(
-                self.params, tok[:, None], pos, caches, sub,
-                jnp.float32(temperature), jnp.float32(top_p),
-            )
-            t_host = np.asarray(tok)
-            outs.append(t_host)
-            done |= t_host == eos_id
-            if done.all():
-                break
+        seqs = self._decode_tokens(
+            tok, plen, caches, seed, temperature, top_p, eos_id
+        )
 
         captions = []
-        seqs = np.stack(outs, axis=1)
         for row in seqs:
             ids = []
             for t in row:
@@ -395,23 +448,17 @@ class CaptionerAgent:
             method=self.llama.embed,
         )
         plen = embeds.shape[1]
-        prefill, decode_step = self._prefill_decode
+        prefill, _, _ = self._prefill_decode
         caches = self.llama.init_cache(1, cfg.cache_len)
         positions = jnp.broadcast_to(jnp.arange(plen), (1, plen))
         logits, caches = prefill(self.params, embeds, positions, caches)
-        rng = jax.random.PRNGKey(seed)
         tok = jnp.argmax(logits, axis=-1)
-        out_ids = [int(np.asarray(tok)[0])]
-        for i in range(cfg.max_new_tokens - 1):
-            if out_ids[-1] == eos_id:
+        seq = self._decode_tokens(
+            tok, plen, caches, seed, temperature, top_p, eos_id
+        )[0]
+        out_ids = []
+        for t in seq:
+            if t == eos_id:
                 break
-            pos = jnp.full((1,), plen + i, jnp.int32)
-            rng, sub = jax.random.split(rng)
-            tok, caches = decode_step(
-                self.params, tok[:, None], pos, caches, sub,
-                jnp.float32(temperature), jnp.float32(top_p),
-            )
-            out_ids.append(int(np.asarray(tok)[0]))
-        if out_ids and out_ids[-1] == eos_id:
-            out_ids = out_ids[:-1]
+            out_ids.append(int(t))
         return self._detokenize(out_ids).strip()
