@@ -103,3 +103,34 @@ def test_int4_caption_identity_when_exact():
     agent_q = CaptionerAgent(qcfg, dict(agent.params, llama=qparams), tokenizer=None)
     cap_q = agent_q.gen_image_caption([img], temperature=0.0)[0]
     assert cap_q == cap_fp
+
+
+def test_qmm_kernel_matches_fallback():
+    """The Pallas dequant-fused matmul (int8 + half-split int4) must match
+    the XLA dequantize-then-dot fallback exactly at kernel-viable shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from supir_tpu.ops.quantize import (
+        _qmm,
+        quantize_int4,
+        quantize_int8,
+        unpack_int4,
+    )
+
+    rng = np.random.default_rng(0)
+    cin, cout = 1024, 512
+    w = jnp.asarray(rng.standard_normal((cin, cout)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((3, cin)), jnp.bfloat16)
+
+    q8, s8 = quantize_int8(w, interpret=True)
+    want8 = jnp.dot(x, q8.astype(x.dtype), preferred_element_type=jnp.float32)
+    want8 = want8 * s8
+    got8 = _qmm(x, q8, s8, bits=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want8), rtol=2e-2, atol=1e-2)
+
+    q4, s4 = quantize_int4(w)
+    deq = unpack_int4(q4)
+    want4 = jnp.dot(x, deq.astype(x.dtype), preferred_element_type=jnp.float32) * s4
+    got4 = _qmm(x, q4, s4, bits=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(want4), rtol=2e-2, atol=1e-2)
