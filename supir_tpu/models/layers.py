@@ -96,10 +96,11 @@ class GroupNorm32(nn.Module):
 
         if os.environ.get("SUPIR_GN_BARRIER") == "1":
             # A/B knob: stop XLA from fusing the stat reduces into the
-            # producing conv. Trace evidence (ARCHITECTURE.md roofline):
-            # convs with GN stats fused into their epilogue run at 67-73
-            # TF/s vs ~161 for clean convs; the barrier trades a separate
-            # bandwidth-bound stats pass for clean conv kernels.
+            # producing conv. Trace evidence: convs with GN stats fused in
+            # run at 67-73 TF/s vs ~161 clean — but the separated-stats
+            # variant MEASURED SLOWER end-to-end (182.0 vs 175.3 ms/step on
+            # v5e): the extra activation read outweighs the conv slowdown.
+            # Kept as an off-by-default knob for future hardware.
             x = jax.lax.optimization_barrier(x)
         xg = x.reshape(b, -1, g, cg)
         # NOTE: a single variadic lax.reduce for (mean, mean2) was tried and
