@@ -362,7 +362,7 @@ class SUPIREngine:
 
         mesh = self._tiled_mesh if mesh_key is not None else None
 
-        def f(params, noised_z, c, uc, x_center, tables, rng):
+        def f(params, noised_z, c, uc, x_center, tables, rng, step_offset=0):
             # conditioning without 'control' (tiles carry their own slices)
             def denoise_flat(x_flat, sigma_b, cfg_b, ctrl_s, control_flat, ca_flat):
                 bb = x_flat.shape[0]
@@ -413,6 +413,7 @@ class SUPIREngine:
                 x_center=x_center, control_tiles=control_tiles,
                 tile_size=tile_size, tile_stride=tile_stride,
                 s_noise=s_noise, mesh=mesh, crossattn_tiles=ca_tiles,
+                step_offset=step_offset,
             )
 
         return jax.jit(f)
@@ -498,15 +499,17 @@ class SUPIREngine:
         if steps_per_call and steps_per_call < num_steps:
             # run the step scan in segments of steps_per_call: bounds single-
             # program runtime (remote runtimes can kill long executions) at
-            # identical math — tables are sliced exactly; only the noise
-            # stream differs (fresh fold per segment, still i.i.d.).
+            # identical math — tables are sliced exactly, and per-step noise
+            # keys are fold_in(rng, global_step) so segmentation is
+            # bit-invariant: steps_per_call in {None, 5, 10} give identical
+            # outputs for a fixed seed.
             if sampler_name == "TiledRestoreDPMPP2M":
                 raise NotImplementedError(
                     "steps_per_call segments the EDM tiled sampler only "
                     "(DPM++2M carries old_denoised across steps)"
                 )
             x_cur = noised_z
-            for seg, i in enumerate(range(0, num_steps, steps_per_call)):
+            for i in range(0, num_steps, steps_per_call):
                 seg_tables = jax.tree_util.tree_map(
                     lambda a: a[i : i + steps_per_call], tables
                 )
@@ -518,7 +521,7 @@ class SUPIREngine:
                 )
                 x_cur = seg_fn(
                     self.params, x_cur, c, uc, z_stage1, seg_tables,
-                    jax.random.fold_in(rng_sample, seg),
+                    rng_sample, jnp.int32(i),
                 )
             samples_z = x_cur
         else:

@@ -78,6 +78,7 @@ def tiled_restore_edm_sample(
     s_noise: float = 1.003,
     mesh: Optional[Mesh] = None,
     crossattn_tiles: Optional[jnp.ndarray] = None,
+    step_offset=0,
 ):
     """RestoreEDM over sliding-window tiles.
 
@@ -87,12 +88,18 @@ def tiled_restore_edm_sample(
     control_tiles: LQ latent sliced per tile (computed once by the caller).
     crossattn_tiles: optional per-tile text conditioning [T, ...] for the
     local-prompt mode of the tiled demo.
+    step_offset: global index of this call's first step. Per-step keys are
+    fold_in(rng, global_step), so running the schedule in segments
+    (`steps_per_call`) is bit-identical to one program — the reference runs
+    one loop with one noise stream (sampling.py:572-597) and our
+    segmentation must not change outputs for a fixed seed.
     """
     b, h, w, c = x.shape
     starts, weights, count = make_tile_plan(h, w, tile_size, tile_stride)
     ts = tile_size
     n = tables.num_steps
-    keys = jax.random.split(rng, n)
+    step_idx = jnp.arange(n, dtype=jnp.int32) + jnp.asarray(step_offset, jnp.int32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(step_idx)
     count_j = jnp.asarray(count)[None, :, :, None]
     weights_j = jnp.asarray(weights)
 

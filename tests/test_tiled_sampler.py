@@ -156,19 +156,24 @@ def test_engine_tiled_pipeline_chunked():
 
 @pytest.mark.slow
 def test_engine_tiled_steps_per_call():
-    """Segmented execution (steps_per_call) matches the sampler contract:
-    same tables, fresh-but-valid noise per segment; finite output of the
-    right shape, close to the one-shot run at low churn."""
+    """Segmented execution is bit-invariant: per-step noise keys are
+    fold_in(rng, global_step), so steps_per_call in {None, 2, 3} produce
+    the SAME image for a fixed seed even with nonzero churn noise
+    (reference runs one loop with one noise stream, sampling.py:572-597)."""
     cfg, cond_cfg = tiny_test_config()
     engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
     x = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 3)) * 0.3, -1, 1)
     z = engine.encode_first_stage_with_denoise(x)
     tok = jax.random.randint(jax.random.PRNGKey(3), (1, 77), 0, 49408)
     c, uc = engine.prepare_condition(z, tok, tok, tok, tok)
-    kw = dict(num_steps=4, tile_size=8, tile_stride=4, seed=1, s_churn=0.0)
+    # nonzero churn so the per-step noise stream actually matters
+    kw = dict(num_steps=4, tile_size=8, tile_stride=4, seed=1, s_churn=5.0)
     want = engine.batchify_sample_tiled(x, c, uc, **kw)
-    got = engine.batchify_sample_tiled(x, c, uc, steps_per_call=2, **kw)
-    assert got.shape == want.shape
-    assert np.isfinite(np.asarray(got)).all()
-    # with zero churn/noise the EDM path is deterministic -> exact match
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    assert np.isfinite(np.asarray(want)).all()
+    for spc in (2, 3):
+        got = engine.batchify_sample_tiled(x, c, uc, steps_per_call=spc, **kw)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5,
+            err_msg=f"steps_per_call={spc} changed the output",
+        )
