@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num_samples", type=int, default=1)
     ap.add_argument("--a_prompt", type=str, default=None)
     ap.add_argument("--n_prompt", type=str, default=None)
+    ap.add_argument("--gamma_correction", type=float, default=1.0,
+                    help="input gamma (reference UI knob, gradio_demo.py:112-115)")
     ap.add_argument("--color_fix_type", type=str, default="Wavelet",
                     choices=["None", "AdaIn", "Wavelet"])
     ap.add_argument("--linear_CFG", action="store_true", default=True)
@@ -155,7 +157,8 @@ def main(argv=None):
     for name in names:
         t_start = time.perf_counter()
         img = Image.open(os.path.join(args.img_dir, name)).convert("RGB")
-        arr, h0, w0 = pil_to_array(img, upscale=args.upscale, min_size=args.min_size)
+        arr, h0, w0 = pil_to_array(img, upscale=args.upscale, min_size=args.min_size,
+                                   gamma=args.gamma_correction)
         x = jnp.asarray(arr)[None]
 
         timings = {}

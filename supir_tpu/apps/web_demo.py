@@ -35,6 +35,7 @@ label{display:block;margin-top:.5em}
   <label>Steps <input id="steps" type="number" value="50"></label>
   <label>CFG <input id="cfg" type="number" step="0.5" value="7.5"></label>
   <label>Upscale <input id="upscale" type="number" step="0.5" value="2"></label>
+  <label>Gamma <input id="gamma" type="number" step="0.1" min="0.1" max="2" value="1"></label>
   <label>Preset <select id="preset"><option>Quality</option><option>Fidelity</option></select></label>
   <label>Model <select id="model"><option>Q</option><option>F</option></select></label>
   <label>Color fix <select id="colorfix"><option>Wavelet</option><option>AdaIn</option><option>None</option></select></label>
@@ -64,6 +65,7 @@ async function run(stage){
     edm_steps: +document.getElementById('steps').value,
     s_cfg: +document.getElementById('cfg').value,
     upscale: +document.getElementById('upscale').value,
+    gamma_correction: +document.getElementById('gamma').value,
     preset: document.getElementById('preset').value,
     model_select: document.getElementById('model').value,
     color_fix_type: document.getElementById('colorfix').value};
@@ -157,7 +159,8 @@ class DemoServer:
         from supir_tpu.utils.image import array_to_pil, pil_to_array
 
         img = self._decode_image(params)
-        arr, h0, w0 = pil_to_array(img, upscale=1.0, min_size=512, fix_resize=512)
+        arr, h0, w0 = pil_to_array(img, upscale=1.0, min_size=512, fix_resize=512,
+                                   gamma=float(params.get("gamma_correction", 1.0)))
         x = jnp.asarray(arr)[None]
         out = self.engine.batchify_denoise(x)
         pil = array_to_pil(np.asarray(out[0]))
@@ -187,6 +190,7 @@ class DemoServer:
         arr, h0, w0 = pil_to_array(
             img, upscale=float(params.get("upscale", 1.0)),
             min_size=int(params.get("min_size", 1024)),
+            gamma=float(params.get("gamma_correction", 1.0)),
         )
         x = jnp.asarray(arr)[None]
         z = self.engine.encode_first_stage_with_denoise(x)

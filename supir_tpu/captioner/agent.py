@@ -263,14 +263,17 @@ class CaptionerAgent:
 
     def _decode_tokens(
         self, first_tok, plen: int, caches, seed: int,
-        temperature: float, top_p: float, eos_id: int,
-    ) -> np.ndarray:
-        """Chunked autoregressive decode -> [B, n] tokens (first included).
+        temperature: float, top_p: float, eos_id: int, stopper=None,
+    ):
+        """Chunked autoregressive decode -> ([B, n] tokens, stop_at[B]).
 
-        Runs `_DECODE_CHUNK` steps per device program and checks EOS on the
-        host between chunks: per-token host syncs cost ~0.5 s each through
-        a tunneled device. Greedy decode is token-identical to the
-        step-at-a-time loop; chunk tokens past EOS/max_new are dropped."""
+        Runs `_DECODE_CHUNK` steps per device program and checks EOS plus
+        keyword stop strings (KeywordStopper — the reference's
+        KeywordsStoppingCriteria, mm_utils.py:76-101) on the host between
+        chunks: per-token host syncs cost ~0.5 s each through a tunneled
+        device. Greedy decode is token-identical to the step-at-a-time
+        loop; chunk tokens past EOS/stop/max_new are dropped. stop_at[b]
+        is the per-row cut index from keyword matches (n if none)."""
         cfg = self.cfg
         _, _, decode_chunk = self._prefill_decode
         rng = jax.random.PRNGKey(seed)
@@ -278,6 +281,22 @@ class CaptionerAgent:
         first_host = np.asarray(first_tok)
         outs = [first_host]
         done = first_host == eos_id
+        stop_at = np.full((b,), np.iinfo(np.int64).max, np.int64)
+
+        def check_keywords(prev_n: int):
+            nonlocal done
+            if stopper is None or not stopper.keywords:
+                return
+            arr = np.stack(outs, axis=1)  # [B, n]
+            for bi in range(b):
+                if done[bi]:
+                    continue
+                cut = stopper.find_stop(arr[bi].tolist(), start=prev_n)
+                if cut is not None:
+                    stop_at[bi] = min(stop_at[bi], cut)
+                    done[bi] = True
+
+        check_keywords(0)
         tok = first_tok
         n = 1
         while n < cfg.max_new_tokens and not done.all():
@@ -288,6 +307,7 @@ class CaptionerAgent:
                 jnp.float32(temperature), jnp.float32(top_p),
             )
             tok = toks[-1]
+            prev_n = n
             for row in np.asarray(toks):  # [chunk, B]
                 if n >= cfg.max_new_tokens:
                     break
@@ -296,7 +316,26 @@ class CaptionerAgent:
                 n += 1
                 if done.all():
                     break
-        return np.stack(outs, axis=1)
+            check_keywords(prev_n)
+        return np.stack(outs, axis=1), np.minimum(stop_at, n)
+
+    def _finalize_row(self, row, stop_at: int, eos_id: int,
+                      stop_str: Optional[str]) -> str:
+        """Token row -> text: cut at EOS/keyword-token match, then trim any
+        decoded stop-string remnant (reference strips stop_str from the
+        decoded output, llava_agent.py:96-100; ours cuts at the FIRST
+        occurrence because chunked decode can overshoot mid-chunk)."""
+        ids = []
+        for j, t in enumerate(row):
+            if j >= stop_at or t == eos_id:
+                break
+            ids.append(int(t))
+        text = self._detokenize(ids).strip()
+        if stop_str:
+            i = text.find(stop_str)
+            if i >= 0:
+                text = text[:i]
+        return text.strip()
 
     @functools.cached_property
     def _prefill_decode(self):
@@ -386,6 +425,7 @@ class CaptionerAgent:
         from supir_tpu.captioner.conversation import build_prompt
 
         cfg = self.cfg
+        stopper, stop_str = self._make_stopper(conv_mode)
         question = qs or DEFAULT_QUESTION
         prompt = build_prompt(conv_mode, question)
         pre, post = prompt.split("<image>")
@@ -410,19 +450,31 @@ class CaptionerAgent:
         logits, caches = prefill(self.params, embeds, positions, caches)
 
         tok = jnp.argmax(logits, axis=-1)
-        seqs = self._decode_tokens(
-            tok, plen, caches, seed, temperature, top_p, eos_id
+        seqs, stop_at = self._decode_tokens(
+            tok, plen, caches, seed, temperature, top_p, eos_id, stopper
         )
 
-        captions = []
-        for row in seqs:
-            ids = []
-            for t in row:
-                if t == eos_id:
-                    break
-                ids.append(int(t))
-            captions.append(self._detokenize(ids).strip())
-        return captions
+        # reference output cleanup (llava_agent.py:96-101): strip stop_str,
+        # flatten newlines into spaces
+        return [
+            self._finalize_row(row, stop_at[bi], eos_id, stop_str)
+            .replace("\n", " ").replace("\r", " ")
+            for bi, row in enumerate(seqs)
+        ]
+
+    def _make_stopper(self, conv_mode: str):
+        """(KeywordStopper, stop_str) for a template — run_llava.py:63-65."""
+        from supir_tpu.captioner.conversation import (
+            KeywordStopper, conv_templates,
+        )
+
+        stop_str = conv_templates[conv_mode].stop_str
+        if not stop_str:
+            return None, None
+        bos = getattr(self.tokenizer, "bos_token_id", None) if self.tokenizer else None
+        return KeywordStopper(
+            [stop_str], self._tokenize, self._detokenize, bos_id=bos
+        ), stop_str
 
     def chat(
         self,
@@ -439,6 +491,7 @@ class CaptionerAgent:
         from supir_tpu.captioner.conversation import build_prompt
 
         cfg = self.cfg
+        stopper, stop_str = self._make_stopper(conv_mode)
         prompt = build_prompt(conv_mode, text, with_image=False)
         ids = self._tokenize(prompt)
         ids = ids[: cfg.cache_len - cfg.max_new_tokens]
@@ -453,12 +506,7 @@ class CaptionerAgent:
         positions = jnp.broadcast_to(jnp.arange(plen), (1, plen))
         logits, caches = prefill(self.params, embeds, positions, caches)
         tok = jnp.argmax(logits, axis=-1)
-        seq = self._decode_tokens(
-            tok, plen, caches, seed, temperature, top_p, eos_id
-        )[0]
-        out_ids = []
-        for t in seq:
-            if t == eos_id:
-                break
-            out_ids.append(int(t))
-        return self._detokenize(out_ids).strip()
+        seqs, stop_at = self._decode_tokens(
+            tok, plen, caches, seed, temperature, top_p, eos_id, stopper
+        )
+        return self._finalize_row(seqs[0], stop_at[0], eos_id, stop_str)

@@ -109,9 +109,11 @@ class Conversation:
         self.messages.append([role, message])
 
     @property
-    def stop_str(self) -> str:
-        """Decode stop string (mm_utils KeywordsStoppingCriteria contract)."""
-        return self.sep if self.sep_style == SeparatorStyle.SINGLE else self.sep2
+    def stop_str(self) -> Optional[str]:
+        """Decode stop string — the keyword fed to the reference's
+        KeywordsStoppingCriteria (llava_agent.py:78, run_llava.py:63-64):
+        sep unless the style is TWO (where turn N ends with sep2)."""
+        return self.sep if self.sep_style != SeparatorStyle.TWO else self.sep2
 
     @staticmethod
     def process_image(image, image_process_mode: str):
@@ -306,6 +308,54 @@ conv_templates = {
 }
 
 default_conversation = conv_vicuna_v1
+
+
+class KeywordStopper:
+    """Multi-token stop-string matching, checked on the host between decode
+    chunks — the re-expression of the reference's KeywordsStoppingCriteria
+    (llava/mm_utils.py:76-101). Two checks, like the reference:
+
+    - token-id suffix match (catches keywords that are special tokens and
+      vanish under skip_special_tokens decoding, e.g. ``<|im_end|>``);
+    - decoded-substring match on the tail (catches keywords whose
+      tokenization is context-dependent, e.g. ``###``).
+
+    Stateless: ``find_stop(ids, start)`` scans every end position in
+    ``(start, len(ids)]`` so chunked decode matches the reference's
+    per-token criteria exactly.
+    """
+
+    def __init__(self, keywords: Sequence[str], encode_fn, decode_fn,
+                 bos_id: Optional[int] = None):
+        self.keywords = [k for k in keywords if k]
+        self._decode = decode_fn
+        self.keyword_ids: List[List[int]] = []
+        for kw in self.keywords:
+            ids = list(encode_fn(kw))
+            # drop the tokenizer's leading BOS (mm_utils.py:82-84)
+            if len(ids) > 1 and bos_id is not None and ids[0] == bos_id:
+                ids = ids[1:]
+            self.keyword_ids.append(ids)
+        self.max_len = max((len(i) for i in self.keyword_ids), default=0)
+
+    def find_stop(self, ids: Sequence[int], start: int = 0) -> Optional[int]:
+        """Return the cut position (index in ``ids`` where the matched stop
+        keyword begins) considering only matches completing after ``start``;
+        ``len(ids)`` if only the decoded-substring check fires (the caller
+        trims in text domain); None if no keyword matched."""
+        if not self.keywords:
+            return None
+        ids = [int(t) for t in ids]
+        for e in range(max(start, 0) + 1, len(ids) + 1):
+            for kids in self.keyword_ids:
+                k = len(kids)
+                if k and e >= k and ids[e - k : e] == kids:
+                    return e - k
+        tail = ids[max(0, start - self.max_len) :]
+        text = self._decode(tail)
+        if any(kw in text for kw in self.keywords):
+            return len(ids)
+        return None
 
 
 def build_prompt(conv_mode: str, question: str, with_image: bool = True) -> str:

@@ -24,9 +24,14 @@ def pil_to_array(
     upscale: float = 1.0,
     min_size: int = 1024,
     fix_resize: Optional[int] = None,
+    gamma: float = 1.0,
 ) -> Tuple[np.ndarray, int, int]:
     """PIL -> [H, W, 3] float32 in [-1, 1]; returns (arr, h0, w0) where
-    (h0, w0) is the pre-rounding target size (PIL2Tensor, SUPIR/util.py:60)."""
+    (h0, w0) is the pre-rounding target size (PIL2Tensor, SUPIR/util.py:60).
+
+    gamma: input gamma correction applied in [0, 1] uint8 domain after the
+    resize, `(x/255)**gamma` re-quantized to uint8 — the Gamma Correction
+    slider of the reference UI (gradio_demo.py:112-115, :69-71)."""
     w, h = img.size
     w *= upscale
     h *= upscale
@@ -44,6 +49,9 @@ def pil_to_array(
     h = int(np.round(h / 64.0)) * 64
     x = img.resize((w, h), Image.BICUBIC)
     x = np.array(x).round().clip(0, 255).astype(np.uint8)
+    if gamma != 1.0:
+        g = np.power(x.astype(np.float32) / 255.0, gamma) * 255.0
+        x = g.round().clip(0, 255).astype(np.uint8)
     x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
     return x, h0, w0
 

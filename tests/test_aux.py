@@ -75,6 +75,22 @@ def test_pil_to_array_round64():
     assert arr.min() >= -1.0 and arr.max() <= 1.0
 
 
+def test_pil_to_array_gamma():
+    """Gamma knob (gradio_demo.py:112-115): (x/255)**gamma in uint8 domain;
+    gamma=1 is the identity, gamma>1 darkens mid-tones."""
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    base, _, _ = pil_to_array(img)  # min_size upscales to 1024-class; fine
+    same, _, _ = pil_to_array(img, gamma=1.0)
+    np.testing.assert_array_equal(base, same)
+    dark, _, _ = pil_to_array(img, gamma=2.0)
+    assert dark.mean() < base.mean()
+    # exact contract on one value: uint8 quantized power curve
+    u = ((base + 1) / 2 * 255).round()
+    want = (np.power(u / 255.0, 2.0) * 255).round().clip(0, 255)
+    np.testing.assert_array_equal(((dark + 1) / 2 * 255).round(), want)
+
+
 def test_upscale_image_unit():
     x = np.zeros((100, 100, 3), np.uint8)
     out = upscale_image(x, 2.0, unit_resolution=64)

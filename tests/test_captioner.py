@@ -68,6 +68,73 @@ def test_vicuna_prompt():
     assert "USER:" in p
 
 
+def test_keyword_stopper_token_suffix():
+    """KeywordsStoppingCriteria parity (mm_utils.py:76-101): token-id
+    suffix match, BOS stripping, start-offset scan, substring fallback."""
+    from supir_tpu.captioner.conversation import KeywordStopper
+
+    enc = {"<|im_end|>": [1, 7, 8], "###": [9]}
+    st = KeywordStopper(
+        ["<|im_end|>"], lambda k: enc[k], lambda ids: "", bos_id=1
+    )
+    assert st.keyword_ids == [[7, 8]]  # BOS stripped
+    assert st.find_stop([5, 6, 7, 8]) == 2
+    assert st.find_stop([5, 6, 7, 8, 3]) == 2  # match mid-sequence too
+    assert st.find_stop([5, 6, 7]) is None
+    # start offset: a match completing at or before `start` is old news
+    assert st.find_stop([7, 8, 5, 6], start=2) is None
+    assert st.find_stop([5, 7, 8, 6], start=2) == 1  # completes at e=3 > 2
+
+    # decoded-substring fallback (context-dependent tokenization like '###')
+    st2 = KeywordStopper(
+        ["###"], lambda k: [2, 3], lambda ids: "some tail ### text"
+    )
+    assert st2.find_stop([5, 6, 7]) == 3  # cut-at-end sentinel
+
+
+def test_decode_stops_on_keyword():
+    """Decode halts early when the stop keyword's token ids appear
+    (v0/mpt templates previously ran to max_new_tokens)."""
+    from supir_tpu.captioner.conversation import KeywordStopper
+
+    agent = CaptionerAgent.create_random()
+    img = (np.random.default_rng(0).random((30, 40, 3)) * 255).astype(np.uint8)
+
+    # greedy run without a stopper to learn the model's token stream
+    feats = agent._encode_image(np.asarray(img)[None])
+    emb = agent.llama.apply(
+        {"params": agent.params["llama"]},
+        jnp.asarray([[1, 5, 9]], jnp.int32), method=agent.llama.embed,
+    )
+    embeds = jnp.concatenate([emb, feats], axis=1)
+    plen = embeds.shape[1]
+    prefill, _, _ = agent._prefill_decode
+    positions = jnp.broadcast_to(jnp.arange(plen), (1, plen))
+
+    def run(stopper):
+        caches = agent.llama.init_cache(1, agent.cfg.cache_len)
+        logits, c = prefill(agent.params, embeds, positions, caches)
+        tok = jnp.argmax(logits, axis=-1)
+        return agent._decode_tokens(tok, plen, c, 0, 0.0, 1.0, -1, stopper)
+
+    free, _ = run(None)
+    assert free.shape[1] >= 4, "tiny model must emit a few tokens for this test"
+    kw = [int(free[0, 2]), int(free[0, 3])]
+    stopper = KeywordStopper(["XX"], lambda k: kw, lambda ids: "")
+    seq, stop_at = run(stopper)
+    assert stop_at[0] == 2  # cut where the keyword begins
+    assert agent._finalize_row(seq[0], stop_at[0], -1, None) == \
+        agent._detokenize([int(t) for t in free[0, :2]]).strip()
+
+
+def test_finalize_row_trims_stop_str():
+    agent = CaptionerAgent.create_random()
+    ids = [ord(c) - 32 + 2 for c in "a cat###junk"]  # byte-fallback detok
+    row = np.asarray(ids)
+    out = agent._finalize_row(row, len(row), -1, "###")
+    assert out == "a cat"
+
+
 def test_caption_generation_end_to_end():
     agent = CaptionerAgent.create_random()
     img = (np.random.default_rng(0).random((30, 40, 3)) * 255).astype(np.uint8)

@@ -56,9 +56,11 @@ def test_prompt_parity_multi_turn(ref, name):
 
 
 def test_stop_str_matches_reference_semantics(ref):
+    # the reference's decode-stop keyword formula at its usage sites
+    # (llava_agent.py:78, run_llava.py:63): sep unless style is TWO
     for name in TEMPLATES:
         r = ref.conv_templates[name]
-        expected = r.sep if r.sep_style == ref.SeparatorStyle.SINGLE else r.sep2
+        expected = r.sep if r.sep_style != ref.SeparatorStyle.TWO else r.sep2
         assert ours.conv_templates[name].stop_str == expected, name
 
 
