@@ -114,15 +114,22 @@ class SUPIREngine:
     _tile_vae = None
 
     def init_tile_vae(self, encoder_tile_size: int = 512, decoder_tile_size: int = 64,
-                      chunk: Optional[Tuple[int, int]] = (8, 4)):
+                      chunk: Optional[Tuple[int, int]] = (8, 4),
+                      fast_mode: bool = False):
         """Switch first-stage encode/decode to the tiled (sharded) path.
         encoder_tile_size in image px, decoder_tile_size in latent px.
         `chunk` = (encode, decode) tiles per call on the single-chip path
-        (ignored under a tile mesh); None folds all tiles at once."""
-        self._tile_vae = (encoder_tile_size, decoder_tile_size, chunk)
+        (ignored under a tile mesh); None folds all tiles at once.
+
+        GN statistics on the chunked path default to EXACT global pooling
+        (staged-exact executor — the reference's default contract,
+        tilevae.py:599-648); `fast_mode=True` opts into chunk-local
+        statistics (the reference's fast mode, :855-876), ~1.4x faster."""
+        self._tile_vae = (encoder_tile_size, decoder_tile_size, chunk, fast_mode)
 
     @functools.lru_cache(maxsize=8)
-    def _tiled_vae_fns(self, enc_tile: int, dec_tile: int, chunk=None, mesh_key=None):
+    def _tiled_vae_fns(self, enc_tile: int, dec_tile: int, chunk=None,
+                       fast_mode=False, *, mesh_key=None):
         from supir_tpu.parallel.tiled_vae import tiled_decode, tiled_encode
 
         mesh = self._tiled_mesh
@@ -136,6 +143,7 @@ class SUPIREngine:
             moments = tiled_encode(
                 cfg.vae, enc_params, params["vae"]["quant_conv"], x,
                 tile_size=enc_tile, pad=32, mesh=mesh, chunk=enc_chunk,
+                fast_mode=fast_mode,
             )
             z = DiagonalGaussian(moments).mode()
             return (z * cfg.scale_factor).astype(jnp.float32)
@@ -144,7 +152,7 @@ class SUPIREngine:
             out = tiled_decode(
                 cfg.vae, params["vae"]["decoder"], params["vae"]["post_quant_conv"],
                 z / cfg.scale_factor, tile_size=dec_tile, pad=8, mesh=mesh,
-                chunk=dec_chunk,
+                chunk=dec_chunk, fast_mode=fast_mode,
             )
             return out.astype(jnp.float32)
 

@@ -51,6 +51,18 @@ class GroupNorm32(nn.Module):
     tiled-VAE's cross-tile GroupNorm pooling (SUPIR/utils/tilevae.py:
     599-648): per-tile mean/var become a collective pmean over the 'tile'
     axis.
+
+    Cross-chunk exact statistics (tiled VAE, parallel/tiled_vae.py):
+      - if a "gn_tape" collection provides a "tape" entry for this module
+        (stack([mean, mean2]) fp32 [2, B, G]), normalization uses THOSE
+        statistics and skips the local reduction — the mechanism behind the
+        tiled VAE's staged-exact execution, which reproduces the
+        reference's exact global pooling (tilevae.py:599-648) without its
+        host-RAM task queue;
+      - `tile_weight` (scalar, from a vmapped per-tile array) weights this
+        tile's contribution to the cross-axis pmean so padded duplicate
+        tiles (tile-axis rounding) carry zero weight: pmean(w_i * m_i) with
+        mean(w) == 1 over the axis is the exact all-real-tiles mean.
     """
 
     eps: float = 1e-5
@@ -60,7 +72,7 @@ class GroupNorm32(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tile_weight=None):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -109,11 +121,24 @@ class GroupNorm32(nn.Module):
         # (An MXU self-dot for sum(x^2) was tried to dodge the fp32-upcast
         # CSE at the big sites; XLA canonicalizes it back to multiply+reduce
         # — bit-identical binary. The two-mean form stays.)
-        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)
-        mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3))
-        if self.axis_name is not None:
-            mean = jax.lax.pmean(mean, self.axis_name)
-            mean2 = jax.lax.pmean(mean2, self.axis_name)
+        if self.has_variable("gn_tape", "tape"):
+            # externally supplied global statistics (tiled-VAE staged-exact
+            # execution): skip the local reduction entirely
+            tape = self.get_variable("gn_tape", "tape")
+            if isinstance(tape, (tuple, list)):
+                tape = tape[0]
+            mean, mean2 = tape[0], tape[1]
+        else:
+            mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)
+            mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 3))
+            if self.axis_name is not None:
+                if tile_weight is not None:
+                    w = jnp.asarray(tile_weight, jnp.float32)
+                    mean = jax.lax.pmean(mean * w, self.axis_name)
+                    mean2 = jax.lax.pmean(mean2 * w, self.axis_name)
+                else:
+                    mean = jax.lax.pmean(mean, self.axis_name)
+                    mean2 = jax.lax.pmean(mean2, self.axis_name)
         var = jnp.maximum(mean2 - mean * mean, 0.0)
         rstd = jax.lax.rsqrt(var + self.eps)
         # fold mean/rstd/affine into one y = x*a + b epilogue, per channel

@@ -34,10 +34,10 @@ class VAEResnetBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm1")(x)
+    def __call__(self, x, tile_weight=None):
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm1")(x, tile_weight)
         h = Conv(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm2")(h)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm2")(h, tile_weight)
         h = Conv(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, 1, dtype=self.dtype, name="nin_shortcut")(x)
@@ -51,9 +51,9 @@ class VAEAttnBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tile_weight=None):
         b, h, w, c = x.shape
-        hid = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm")(x)
+        hid = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, dtype=self.dtype, name="norm")(x, tile_weight)
         q = Conv(c, 1, dtype=self.dtype, name="q")(hid).reshape(b, h * w, 1, c)
         k = Conv(c, 1, dtype=self.dtype, name="k")(hid).reshape(b, h * w, 1, c)
         v = Conv(c, 1, dtype=self.dtype, name="v")(hid).reshape(b, h * w, 1, c)
@@ -71,14 +71,14 @@ class VAEEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tile_weight=None):
         cfg = self.cfg
         x = x.astype(self.dtype)
         h = Conv(cfg.ch, 3, dtype=self.dtype, name="conv_in")(x)
         for level, mult in enumerate(cfg.ch_mult):
             ch = cfg.ch * mult
             for i in range(cfg.num_res_blocks):
-                h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name=f"down_{level}_block_{i}")(h)
+                h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name=f"down_{level}_block_{i}")(h, tile_weight)
             if level != len(cfg.ch_mult) - 1:
                 # asymmetric pad (0,1,0,1) + stride-2 valid conv (model.py:452-460)
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -86,10 +86,10 @@ class VAEEncoder(nn.Module):
                     ch, 3, stride=2, padding=[(0, 0), (0, 0)],
                     dtype=self.dtype, name=f"down_{level}_downsample",
                 )(h)
-        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_1")(h)
-        h = VAEAttnBlock(norm_axis=self.norm_axis, dtype=self.dtype, name="mid_attn_1")(h)
-        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm_out")(h)
+        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_1")(h, tile_weight)
+        h = VAEAttnBlock(norm_axis=self.norm_axis, dtype=self.dtype, name="mid_attn_1")(h, tile_weight)
+        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_2")(h, tile_weight)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm_out")(h, tile_weight)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return Conv(out_ch, 3, dtype=self.dtype, name="conv_out")(h)
 
@@ -103,25 +103,25 @@ class VAEDecoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, tile_weight=None):
         cfg = self.cfg
         z = z.astype(self.dtype)
         ch = cfg.ch * cfg.ch_mult[-1]
         h = Conv(ch, 3, dtype=self.dtype, name="conv_in")(z)
-        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_1")(h)
-        h = VAEAttnBlock(norm_axis=self.norm_axis, dtype=self.dtype, name="mid_attn_1")(h)
-        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_2")(h)
+        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_1")(h, tile_weight)
+        h = VAEAttnBlock(norm_axis=self.norm_axis, dtype=self.dtype, name="mid_attn_1")(h, tile_weight)
+        h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name="mid_block_2")(h, tile_weight)
         for rlevel, mult in enumerate(reversed(cfg.ch_mult)):
             level = len(cfg.ch_mult) - 1 - rlevel
             ch = cfg.ch * mult
             for i in range(cfg.num_res_blocks + 1):
-                h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name=f"up_{level}_block_{i}")(h)
+                h = VAEResnetBlock(ch, norm_axis=self.norm_axis, dtype=self.dtype, name=f"up_{level}_block_{i}")(h, tile_weight)
             if level != 0:
                 n, hh, ww, cc = h.shape
                 h = h[:, :, None, :, None, :]
                 h = jnp.broadcast_to(h, (n, hh, 2, ww, 2, cc)).reshape(n, 2 * hh, 2 * ww, cc)
                 h = Conv(ch, 3, dtype=self.dtype, name=f"up_{level}_upsample")(h)
-        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm_out")(h)
+        h = GroupNorm32(eps=1e-6, axis_name=self.norm_axis, fuse_silu=True, dtype=self.dtype, name="norm_out")(h, tile_weight)
         return Conv(cfg.out_channels, 3, dtype=self.dtype, name="conv_out")(h)
 
 

@@ -80,6 +80,66 @@ def test_tiled_decode_runs_and_matches_shape(vae_setup):
     assert corr > 0.5, corr
 
 
+def test_chunked_default_exact_matches_unchunked(vae_setup):
+    """The chunked DEFAULT (staged-exact executor) equals the unchunked run
+    to float tolerance: global GN pooling is exact, the reference's default
+    contract (tilevae.py:599-648)."""
+    vae, params = vae_setup
+    x = jax.image.resize(
+        jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 3)), (1, 128, 128, 3), "bicubic"
+    )
+    un = np.asarray(
+        tiled_encode(CFG, params["encoder"], params["quant_conv"], x, tile_size=32, pad=16)
+    )
+    for chunk in (3, 4):  # 16 tiles: non-dividing and dividing chunk
+        ex = np.asarray(
+            tiled_encode(CFG, params["encoder"], params["quant_conv"], x,
+                         tile_size=32, pad=16, chunk=chunk)
+        )
+        np.testing.assert_allclose(ex, un, atol=2e-5,
+                                   err_msg=f"chunk={chunk}")
+    # fast mode (reference tilevae.py:855-876) is the chunk-local opt-in
+    fm = np.asarray(
+        tiled_encode(CFG, params["encoder"], params["quant_conv"], x,
+                     tile_size=32, pad=16, chunk=3, fast_mode=True)
+    )
+    assert fm.shape == un.shape and np.isfinite(fm).all()
+
+
+def test_chunked_decode_exact_matches_unchunked(vae_setup):
+    vae, params = vae_setup
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 32, 4)) * 0.2
+    un = np.asarray(
+        tiled_decode(CFG, params["decoder"], params["post_quant_conv"], z,
+                     tile_size=8, pad=4)
+    )
+    ex = np.asarray(
+        tiled_decode(CFG, params["decoder"], params["post_quant_conv"], z,
+                     tile_size=8, pad=4, chunk=3)
+    )
+    np.testing.assert_allclose(ex, un, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_mesh_padded_tile_stats_exact(vae_setup):
+    """Tile counts that do NOT divide the mesh axis: padded duplicate tiles
+    carry zero pmean weight, so collective GN statistics stay exact."""
+    vae, params = vae_setup
+    mesh = make_mesh((1, 4, 1), ("data", "tile", "model"))
+    x = jax.image.resize(
+        jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 3)), (1, 96, 96, 3), "bicubic"
+    )
+    # 3x3 = 9 tiles on 4 devices -> 3 padded duplicates
+    single = np.asarray(
+        tiled_encode(CFG, params["encoder"], params["quant_conv"], x, tile_size=32, pad=16)
+    )
+    sharded = np.asarray(
+        tiled_encode(CFG, params["encoder"], params["quant_conv"], x,
+                     tile_size=32, pad=16, mesh=mesh)
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_tiled_encode_sharded_matches_single(vae_setup):
     """shard_map over the 'tile' mesh axis == single-device tiled path."""
