@@ -193,6 +193,81 @@ class CaptionerTrainer:
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    @functools.cached_property
+    def train_step_tokens(self):
+        """Token-level train step consuming `preprocess.collate` batches
+        directly: {input_ids [B,T] (one IMAGE_TOKEN_INDEX marker per image
+        sample), labels [B,T], images [B,S,S,3]}.
+
+        The image splice is done in-graph with static shapes (output length
+        T+P-1 regardless of marker position) — the TPU re-expression of the
+        reference's per-sample python splice
+        (llava_arch.py:95-213 prepare_inputs_labels_for_multimodal). The
+        vision tower is frozen (stop_gradient), like the reference; the
+        token-embedding table lives inside the graph so 'full' mode trains
+        it."""
+        from supir_tpu.captioner.preprocess import IMAGE_TOKEN_INDEX
+
+        agent = self.agent
+        llama, projector, vision = agent.llama, agent.projector, agent.vision
+        mm_layer = agent.cfg.mm_hidden_layer
+        mode = self.mode
+        lora_alpha, lora_rank = self.lora_alpha, self.lora_rank
+
+        def splice_one(tok_emb, img_emb, ids, labels):
+            """[T,D] text embeds + [P,D] image embeds -> [T+P-1,D] spliced
+            at the (single) IMAGE_TOKEN_INDEX marker; labels follow, with
+            the image span masked to IGNORE_INDEX."""
+            t = ids.shape[0]
+            p = img_emb.shape[0]
+            is_marker = ids == IMAGE_TOKEN_INDEX
+            has_img = jnp.any(is_marker)
+            pos = jnp.argmax(is_marker)  # 0 when no marker (gated below)
+            j = jnp.arange(t + p - 1)
+            in_img = has_img & (j >= pos) & (j < pos + p)
+            text_idx = jnp.where(has_img & (j >= pos + p), j - (p - 1), j)
+            text_idx = jnp.clip(jnp.where(in_img, 0, text_idx), 0, t - 1)
+            img_idx = jnp.clip(j - pos, 0, p - 1)
+            emb = jnp.where(in_img[:, None], img_emb[img_idx], tok_emb[text_idx])
+            pad_tail = (~has_img) & (j >= t)
+            lab = jnp.where(in_img | pad_tail, IGNORE_INDEX, labels[text_idx])
+            return emb, lab
+
+        def loss_fn(trainable, frozen, batch):
+            params = {**frozen, **trainable}
+            from supir_tpu.captioner.vision import select_patch_features
+
+            hidden = vision.apply({"params": params["vision"]}, batch["images"])
+            feats = jax.lax.stop_gradient(select_patch_features(hidden, mm_layer))
+            img_emb = projector.apply({"params": params["projector"]}, feats)
+            llama_p = params["llama"]
+            if mode == "lora":
+                llama_p = merge_lora(llama_p, params["lora"], lora_alpha, lora_rank)
+            ids = batch["input_ids"].astype(jnp.int32)
+            safe_ids = jnp.maximum(ids, 0)
+            tok_emb = llama.apply(
+                {"params": llama_p}, safe_ids, method=llama.embed)
+            embeds, labels = jax.vmap(splice_one)(
+                tok_emb, img_emb, ids, batch["labels"].astype(jnp.int32))
+            pos = jnp.broadcast_to(jnp.arange(embeds.shape[1]), embeds.shape[:2])
+            logits, _ = llama.apply({"params": llama_p}, embeds, pos)
+            return causal_lm_loss(logits, labels)
+
+        def step_fn(state, batch):
+            params = state["params"]
+            trainable = self.trainable_of(params)
+            frozen = {k: v for k, v in params.items() if k not in trainable}
+            loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, batch)
+            updates, opt = self.tx.update(grads, state["opt"], trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return {
+                "params": {**frozen, **trainable},
+                "opt": opt,
+                "step": state["step"] + 1,
+            }, loss
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
     def save_projector_only(self, state, path: str):
         """Selective mm-projector checkpoint (llava_trainer.py:150-169)."""
         from supir_tpu.utils.checkpoint import save_params
