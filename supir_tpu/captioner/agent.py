@@ -53,6 +53,13 @@ class CaptionerConfig:
     mm_hidden_layer: int = -2
     max_new_tokens: int = 512
     cache_len: int = 1536
+    # activation compute dtype ("float32" | "bfloat16") and KV-cache dtype.
+    # The reference serves LLaVA in fp16 (builder.py:26-148 torch_dtype);
+    # bf16 is the TPU analogue — fp32 prefill dots run ~8x slower on the
+    # MXU and an fp32 cache doubles the decode's dominant HBM stream
+    # (2.1 GB/token at cache_len 1280, 13B dims).
+    compute_dtype: str = "float32"
+    kv_dtype: str = "float32"
 
     @classmethod
     def tiny(cls) -> "CaptionerConfig":
@@ -118,9 +125,11 @@ class CaptionerAgent:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
-        self.vision = CLIPVisionTower(cfg.vision)
-        self.llama = LlamaForCausalLM(cfg.llama)
-        self.projector = MMProjector.module(cfg.llama.dim)
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self._kv_dtype = jnp.bfloat16 if cfg.kv_dtype == "bfloat16" else jnp.float32
+        self.vision = CLIPVisionTower(cfg.vision, dtype=dt)
+        self.llama = LlamaForCausalLM(cfg.llama, dtype=dt)
+        self.projector = MMProjector.module(cfg.llama.dim, dtype=dt)
 
     # ------------------------------------------------------------ factory
 
@@ -181,14 +190,23 @@ class CaptionerAgent:
             from supir_tpu.captioner.llama import quantize_llama_params
 
             bits = 4 if load_4bit else 8
-            params["llama"], saved = quantize_llama_params(params["llama"], bits=bits)
+            params["llama"], saved = quantize_llama_params(
+                params["llama"], bits=bits, fuse=True
+            )
             cfg = dc.replace(cfg, llama=dc.replace(
-                cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4
+                cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4,
+                fused_qkv=True,
             ))
             print(f"captioner int{bits}: saved {saved / 1e6:.1f} MB of weights")
 
         if param_dtype is None and jax.default_backend() == "tpu":
             param_dtype = jnp.bfloat16
+        if param_dtype == jnp.bfloat16:
+            # bf16 params => bf16 compute + KV cache (the reference serves
+            # fp16 end to end; fp32 activations would un-fuse the win)
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, compute_dtype="bfloat16", kv_dtype="bfloat16")
         if param_dtype is not None:
             params = jax.tree_util.tree_map(
                 lambda v: jnp.asarray(v, param_dtype)
@@ -405,11 +423,30 @@ class CaptionerAgent:
             jax.jit(decode_chunk, donate_argnums=(3,)),
         )
 
+    @functools.cached_property
+    def _encode_jit(self):
+        """Vision tower + projector as ONE jitted program: eager flax apply
+        dispatches each op separately, which costs seconds through a
+        tunneled device (measured 3.9 s vs <0.1 s jitted for CLIP-L/336)."""
+
+        def run(params, pixels):
+            hidden = self.vision.apply({"params": params["vision"]}, pixels)
+            feats = select_patch_features(hidden, self.cfg.mm_hidden_layer)
+            return self.projector.apply({"params": params["projector"]}, feats)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _embed_jit(self):
+        return jax.jit(
+            lambda params, ids: self.llama.apply(
+                {"params": params["llama"]}, ids, method=self.llama.embed
+            )
+        )
+
     def _encode_image(self, images_uint8) -> jnp.ndarray:
         pixels = preprocess_images(images_uint8, self.cfg.vision.image_size)
-        hidden = self.vision.apply({"params": self.params["vision"]}, jnp.asarray(pixels))
-        feats = select_patch_features(hidden, self.cfg.mm_hidden_layer)
-        return self.projector.apply({"params": self.params["projector"]}, feats)
+        return self._encode_jit(self.params, jnp.asarray(pixels))
 
     def gen_image_caption(
         self,
@@ -435,17 +472,15 @@ class CaptionerAgent:
         img_embeds = self._encode_image(images)  # [B, P, dim]
         b = img_embeds.shape[0]
 
-        emb = lambda ids: self.llama.apply(
-            {"params": self.params["llama"]},
-            jnp.asarray(ids, jnp.int32)[None].repeat(b, 0),
-            method=self.llama.embed,
+        emb = lambda ids: self._embed_jit(
+            self.params, jnp.asarray(ids, jnp.int32)[None].repeat(b, 0)
         )
         embeds = jnp.concatenate([emb(pre_ids), img_embeds, emb(post_ids)], axis=1)
         plen = embeds.shape[1]
         assert plen + cfg.max_new_tokens <= cfg.cache_len, "cache too small"
 
         prefill, _, _ = self._prefill_decode
-        caches = self.llama.init_cache(b, cfg.cache_len)
+        caches = self.llama.init_cache(b, cfg.cache_len, dtype=self._kv_dtype)
         positions = jnp.broadcast_to(jnp.arange(plen), (b, plen))
         logits, caches = prefill(self.params, embeds, positions, caches)
 
@@ -495,14 +530,10 @@ class CaptionerAgent:
         prompt = build_prompt(conv_mode, text, with_image=False)
         ids = self._tokenize(prompt)
         ids = ids[: cfg.cache_len - cfg.max_new_tokens]
-        embeds = self.llama.apply(
-            {"params": self.params["llama"]},
-            jnp.asarray(ids, jnp.int32)[None],
-            method=self.llama.embed,
-        )
+        embeds = self._embed_jit(self.params, jnp.asarray(ids, jnp.int32)[None])
         plen = embeds.shape[1]
         prefill, _, _ = self._prefill_decode
-        caches = self.llama.init_cache(1, cfg.cache_len)
+        caches = self.llama.init_cache(1, cfg.cache_len, dtype=self._kv_dtype)
         positions = jnp.broadcast_to(jnp.arange(plen), (1, plen))
         logits, caches = prefill(self.params, embeds, positions, caches)
         tok = jnp.argmax(logits, axis=-1)

@@ -44,6 +44,11 @@ class LlamaConfig:
     # int8/int4 kernels cut HBM traffic for the memory-bound decode
     quantize_int8: bool = False
     quantize_int4: bool = False
+    # merged qkv / gate-up projections (quantized decode only): per-out-
+    # channel scales make the merged quantization bit-identical to three
+    # separate ones, and 7 -> 4 Pallas GEMV launches per block cuts decode
+    # per-call overhead (280 -> 160 launches/token at 40 layers)
+    fused_qkv: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -133,11 +138,14 @@ class Int8Dense(nn.Module):
 _PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_llama_params(params, bits: int = 8):
+def quantize_llama_params(params, bits: int = 8, fuse: bool = False):
     """fp llama params -> int8/int4 layout (LlamaConfig quantize_int8 /
     quantize_int4): every block projection's Dense_0/kernel becomes
-    {'q','scale'} (8-bit) or {'q4','scale'} (packed 4-bit). Returns
-    (new_params, bytes_saved)."""
+    {'q','scale'} (8-bit) or {'q4','scale'} (packed 4-bit). With
+    fuse=True (LlamaConfig.fused_qkv), q/k/v merge into one qkv_proj and
+    gate/up into one gateup_proj along the OUT axis before quantizing —
+    per-out-channel scales make the merged result bit-identical to the
+    separate quantizations. Returns (new_params, bytes_saved)."""
     from supir_tpu.ops.quantize import quantize_int4, quantize_int8
 
     assert bits in (8, 4)
@@ -154,9 +162,21 @@ def quantize_llama_params(params, bits: int = 8):
         saved[0] += int(w.size) * 4 - new_bytes
         return new
 
+    def kern(node, name):
+        return np.asarray(node[name]["Dense_0"]["kernel"], np.float32)
+
     def walk(node):
         if not isinstance(node, dict):
             return node
+        if fuse and all(p in node for p in _PROJ_NAMES):
+            out = {k: walk(v) for k, v in node.items() if k not in _PROJ_NAMES}
+            out["qkv_proj"] = one(np.concatenate(
+                [kern(node, "q_proj"), kern(node, "k_proj"), kern(node, "v_proj")], axis=1))
+            out["gateup_proj"] = one(np.concatenate(
+                [kern(node, "gate_proj"), kern(node, "up_proj")], axis=1))
+            out["o_proj"] = one(kern(node, "o_proj"))
+            out["down_proj"] = one(kern(node, "down_proj"))
+            return out
         out = {}
         for k, v in node.items():
             if k in _PROJ_NAMES and isinstance(v, dict) and "Dense_0" in v:
@@ -186,9 +206,15 @@ class LlamaBlock(nn.Module):
         b, s, _ = x.shape
 
         h = RMSNorm(c.rms_eps, dtype=self.dtype, name="input_norm")(x)
-        q = self._dense(c.heads * hd, "q_proj")(h)
-        k = self._dense(c.kv_heads * hd, "k_proj")(h)
-        v = self._dense(c.kv_heads * hd, "v_proj")(h)
+        if c.fused_qkv:
+            qkv = self._dense(hd * (c.heads + 2 * c.kv_heads), "qkv_proj")(h)
+            q = qkv[..., : c.heads * hd]
+            k = qkv[..., c.heads * hd : hd * (c.heads + c.kv_heads)]
+            v = qkv[..., hd * (c.heads + c.kv_heads) :]
+        else:
+            q = self._dense(c.heads * hd, "q_proj")(h)
+            k = self._dense(c.kv_heads * hd, "k_proj")(h)
+            v = self._dense(c.kv_heads * hd, "v_proj")(h)
         q = apply_rotary(q.reshape(b, s, c.heads, hd), cos, sin)
         k = apply_rotary(k.reshape(b, s, c.kv_heads, hd), cos, sin)
         v = v.reshape(b, s, c.kv_heads, hd)
@@ -216,8 +242,12 @@ class LlamaBlock(nn.Module):
         x = x + self._dense(c.dim, "o_proj")(out)
 
         h = RMSNorm(c.rms_eps, dtype=self.dtype, name="post_norm")(x)
-        gate = self._dense(c.hidden_dim, "gate_proj")(h)
-        up = self._dense(c.hidden_dim, "up_proj")(h)
+        if c.fused_qkv:
+            gu = self._dense(2 * c.hidden_dim, "gateup_proj")(h)
+            gate, up = gu[..., : c.hidden_dim], gu[..., c.hidden_dim :]
+        else:
+            gate = self._dense(c.hidden_dim, "gate_proj")(h)
+            up = self._dense(c.hidden_dim, "up_proj")(h)
         x = x + self._dense(c.dim, "down_proj")(nn.silu(gate) * up)
         return x, new_cache
 

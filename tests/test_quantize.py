@@ -134,3 +134,40 @@ def test_qmm_kernel_matches_fallback():
     want4 = jnp.dot(x, deq.astype(x.dtype), preferred_element_type=jnp.float32) * s4
     got4 = _qmm(x, q4, s4, bits=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got4), np.asarray(want4), rtol=2e-2, atol=1e-2)
+
+
+def test_fused_qkv_quantized_decode_identical():
+    """fused_qkv (merged qkv / gate-up GEMVs, LlamaConfig.fused_qkv) must be
+    bit-identical to the unfused quantized decode: per-out-channel scales
+    make the merged quantization equal to the separate ones, and the block
+    splits the merged output back at the same offsets."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig
+    from supir_tpu.captioner.llama import quantize_llama_params
+
+    cfg = CaptionerConfig.tiny()
+    agent = CaptionerAgent.create_random(cfg)
+    img = np.random.default_rng(2).integers(
+        0, 255, (cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8
+    )
+
+    for bits in (8, 4):
+        qflags = dict(quantize_int8=bits == 8, quantize_int4=bits == 4)
+        qp, _ = quantize_llama_params(agent.params["llama"], bits=bits)
+        a_sep = CaptionerAgent(
+            dc.replace(cfg, llama=dc.replace(cfg.llama, **qflags)),
+            dict(agent.params, llama=qp),
+        )
+        qpf, _ = quantize_llama_params(agent.params["llama"], bits=bits, fuse=True)
+        assert "qkv_proj" in qpf["model"]["layer_0"]
+        assert "q_proj" not in qpf["model"]["layer_0"]
+        a_fused = CaptionerAgent(
+            dc.replace(cfg, llama=dc.replace(cfg.llama, fused_qkv=True, **qflags)),
+            dict(agent.params, llama=qpf),
+        )
+        cap_sep = a_sep.gen_image_caption([img], temperature=0.0)[0]
+        cap_fused = a_fused.gen_image_caption([img], temperature=0.0)[0]
+        assert cap_sep == cap_fused, bits
