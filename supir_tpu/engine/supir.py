@@ -321,8 +321,31 @@ class SUPIREngine:
             control_scale,
         )
 
+    _seq_mesh = None
+    _seq_axis = "seq"
+
+    def set_sequence_mesh(self, mesh, axis: str = "seq"):
+        """Long-context mode (SURVEY.md section 5): shard the attention
+        SEQUENCE over `axis` of `mesh`. While a sampler traces, eligible
+        self-attention sites (no bias, non-causal, S >= SUPIR_RING_MIN_SEQ)
+        route through parallel/ring_attention — k/v rotate via ppermute so
+        one tile's tokens never need to fit a single chip. None disables."""
+        self._seq_mesh = mesh
+        self._seq_axis = axis
+        return self
+
+    def _seq_ctx(self):
+        import contextlib
+
+        from supir_tpu.ops.attention import sequence_sharding
+
+        if self._seq_mesh is None:
+            return contextlib.nullcontext()
+        return sequence_sharding(self._seq_mesh, self._seq_axis)
+
     @functools.lru_cache(maxsize=16)
-    def _sample_fn(self, sampler_name: str, num_steps: int, eta: float, s_noise: float):
+    def _sample_fn(self, sampler_name: str, num_steps: int, eta: float, s_noise: float,
+                   seq_mesh_key=None):
         sample = SAMPLERS[sampler_name]
         kwargs = {}
         if sampler_name in ("RestoreDPMPP2M",):
@@ -335,23 +358,25 @@ class SUPIREngine:
             kwargs = dict(s_noise=s_noise)
 
         def f(params, noised_z, c, uc, x_center, tables, rng):
-            cond2 = {
-                k: jnp.concatenate([uc[k], c[k]], axis=0)
-                for k in ("crossattn", "vector", "control")
-            }
+            with self._seq_ctx():
+                cond2 = {
+                    k: jnp.concatenate([uc[k], c[k]], axis=0)
+                    for k in ("crossattn", "vector", "control")
+                }
 
-            def denoise(x, sigma_b, cfg_b, ctrl_s):
-                x2 = jnp.concatenate([x, x], axis=0)
-                s2 = jnp.concatenate([sigma_b, sigma_b], axis=0)
-                den = self.denoiser(
-                    functools.partial(self._network, params), x2, s2, cond2, ctrl_s
-                )
-                d_uc, d_c = jnp.split(den, 2, axis=0)
-                return cfg_combine(d_uc, d_c, cfg_b)
+                def denoise(x, sigma_b, cfg_b, ctrl_s):
+                    x2 = jnp.concatenate([x, x], axis=0)
+                    s2 = jnp.concatenate([sigma_b, sigma_b], axis=0)
+                    den = self.denoiser(
+                        functools.partial(self._network, params), x2, s2, cond2, ctrl_s
+                    )
+                    d_uc, d_c = jnp.split(den, 2, axis=0)
+                    return cfg_combine(d_uc, d_c, cfg_b)
 
-            if sampler_name == "RestoreEDM":
-                return sample(denoise, noised_z, rng, tables, x_center=x_center, **kwargs)
-            return sample(denoise, noised_z, rng, tables, **kwargs)
+                if sampler_name == "RestoreEDM":
+                    return sample(denoise, noised_z, rng, tables,
+                                  x_center=x_center, **kwargs)
+                return sample(denoise, noised_z, rng, tables, **kwargs)
 
         # donate the fresh noise buffer: the scan carry reuses it in place
         return jax.jit(f, donate_argnums=(1,))
@@ -624,7 +649,10 @@ class SUPIREngine:
         noised_z = jax.random.normal(rng_noise, _z.shape, jnp.float32)
         noised_z = noised_z * np.sqrt(1.0 + float(sigma0) ** 2)
 
-        fn = self._sample_fn(sampler_name, num_steps, cfg.sampler.eta, s_noise)
+        fn = self._sample_fn(
+            sampler_name, num_steps, cfg.sampler.eta, s_noise,
+            seq_mesh_key=id(self._seq_mesh) if self._seq_mesh is not None else None,
+        )
         samples_z = fn(self.params, noised_z, c, uc, z_stage1, tables, rng_sample)
         samples = self.decode_first_stage(samples_z)
 

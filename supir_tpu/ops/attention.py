@@ -15,10 +15,49 @@ head_dim) — head_dim last, so the MXU contraction is over the minor dim.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
 import jax.numpy as jnp
+
+# Active sequence-sharding context: (mesh, axis_name) or None. When set via
+# `sequence_sharding`, the auto dispatch routes big self-attention sites
+# through parallel/ring_attention so the sequence itself shards over the
+# mesh axis (SURVEY.md section 5 long-context: 8K+ imagery where one tile's
+# tokens exceed a chip).
+_SEQ_SHARD: list = [None]
+
+
+@contextlib.contextmanager
+def sequence_sharding(mesh, axis: str = "seq", min_seq: int | None = None):
+    """Route eligible attention through the ring kernel while active.
+
+    Eligible = self-attention (same q/k length), no bias, not causal,
+    S divisible by the axis size, and S >= min_seq (default
+    SUPIR_RING_MIN_SEQ or 8192 — below that a single chip's flash kernel
+    wins; ppermute latency only pays off once the sequence cannot fit)."""
+    import os
+
+    if min_seq is None:
+        min_seq = int(os.environ.get("SUPIR_RING_MIN_SEQ", "8192"))
+    prev = _SEQ_SHARD[0]
+    _SEQ_SHARD[0] = (mesh, axis, min_seq)
+    try:
+        yield
+    finally:
+        _SEQ_SHARD[0] = prev
+
+
+def _ring_eligible(q, k, bias, causal):
+    ctx = _SEQ_SHARD[0]
+    if ctx is None or bias is not None or causal:
+        return None
+    mesh, axis, min_seq = ctx
+    s = q.shape[1]
+    if s != k.shape[1] or s < min_seq or s % mesh.shape[axis]:
+        return None
+    return mesh, axis
 
 
 def _xla_attention(q, k, v, bias=None, causal=False):
@@ -49,6 +88,12 @@ def dot_product_attention(q, k, v, bias=None, causal=False, impl="auto",
     """
     if impl == "auto":
         import os
+
+        ring = _ring_eligible(q, k, bias, causal)
+        if ring is not None:
+            from supir_tpu.parallel.ring_attention import ring_attention
+
+            return ring_attention(q, k, v, ring[0], axis=ring[1])
 
         forced = os.environ.get("SUPIR_ATTN_IMPL")
         if forced in ("xla", "flash"):

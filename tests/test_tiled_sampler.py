@@ -177,3 +177,73 @@ def test_engine_tiled_steps_per_call():
             np.asarray(got), np.asarray(want), atol=1e-5,
             err_msg=f"steps_per_call={spc} changed the output",
         )
+
+
+def test_sharded_tiled_sampler_collective_budget():
+    """VERDICT round-2 weak 8: the one scaling property checkable without
+    hardware — the sharded tiled sampler's compiled HLO must contain ONLY
+    tile-sized collectives (the blend gathering tile outputs home once per
+    step), never an all-gather of anything activation-sized, and no
+    all-to-all / reduce-scatter surprises."""
+    import re
+
+    mesh = make_mesh((8,), ("tile",))
+    shape = (1, 32, 32, 4)
+    ts, stride = 16, 8
+    cfg = SamplerConfig(s_churn=0.0, restore_cfg=0.0)
+    sigmas = legacy_ddpm_sigmas(3)
+    tables = S.make_step_tables(sigmas, cfg)
+    starts, _, _ = make_tile_plan(32, 32, ts, stride)
+    t = len(starts)
+
+    def denoise_flat(x, sig, cfg_b, ctrl_s, ctrl, ca):
+        # stand-in network: per-tile local math only
+        return x * 0.9 + ctrl * 0.1
+
+    denoise_tile = make_tiled_denoise(denoise_flat, mesh=mesh)
+    control_tiles = jnp.zeros((t, 1, ts, ts, 4))
+
+    def run(x, rng, ctrl):
+        return tiled_restore_edm_sample(
+            denoise_tile, x, rng, tables, x_center=jnp.zeros(shape),
+            control_tiles=ctrl, tile_size=ts, tile_stride=stride,
+            s_noise=0.0, mesh=mesh,
+        )
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
+    compiled = (
+        jax.jit(run)
+        .lower(x0, jax.random.PRNGKey(2), control_tiles)
+        .compile()
+        .as_text()
+    )
+
+    # budget: every collective's payload must be <= the padded tile stack
+    # (tile outputs coming home for the blend) — the latent is 32x32x4,
+    # a tile stack is 16x1x16x16x4; anything bigger means GSPMD gathered
+    # an intermediate it should not have
+    tile_stack_elems = (t + (-t) % 8) * 1 * ts * ts * 4
+    bad = []
+    for line in compiled.splitlines():
+        if re.search(r"\ball-(gather|to-all)|collective-permute|all-reduce", line):
+            for m in re.finditer(r"[a-z0-9]+\[([\d,]*)\]", line):
+                dims = [int(d) for d in m.group(1).split(",") if d]
+                elems = int(np.prod(dims)) if dims else 1
+                if elems > tile_stack_elems:
+                    bad.append(line.strip()[:160])
+                break  # first shape on the line = result shape
+    assert not bad, bad[:4]
+
+    # and the result must equal the unsharded path
+    denoise_plain = make_tiled_denoise(denoise_flat, mesh=None)
+
+    def run_plain(x, rng, ctrl):
+        return tiled_restore_edm_sample(
+            denoise_plain, x, rng, tables, x_center=jnp.zeros(shape),
+            control_tiles=ctrl, tile_size=ts, tile_stride=stride,
+            s_noise=0.0,
+        )
+
+    got = jax.jit(run)(x0, jax.random.PRNGKey(2), control_tiles)
+    want = jax.jit(run_plain)(x0, jax.random.PRNGKey(2), control_tiles)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
