@@ -188,3 +188,91 @@ def test_detector_wrapper_and_parsed_pasteback():
     out = paste(img, faces, [faces[0].crop])
     assert out.shape == img.shape
     assert np.isfinite(out).all()
+
+
+# ---------------------------------------------------------------- manifests
+
+FACE_MANIFEST = __file__.rsplit("/", 2)[0] + "/supir_tpu/data/face_key_manifests.json"
+
+
+@pytest.fixture(scope="module")
+def face_manifests():
+    import json
+
+    with open(FACE_MANIFEST) as f:
+        return json.load(f)
+
+
+def _rules_and_model(which):
+    from supir_tpu.models.parsenet import ParseNet
+    from supir_tpu.utils import face_ckpt
+
+    if which == "retinaface":
+        model = RetinaFace()
+        params = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        )["params"]
+        return face_ckpt.retinaface_rules(), params
+    model = ParseNet(in_size=512, res_depth=10)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3)))
+    )["params"]
+    return face_ckpt.parsenet_rules(), params
+
+
+@pytest.mark.parametrize("which", ["retinaface", "parsenet"])
+def test_face_rules_bijective_vs_manifest(which, face_manifests):
+    """The converter's torch key space must equal the pinned manifest
+    (generated by tools/make_face_manifests.py from torch modules whose
+    attribute structure replicates the public facexlib/biubug6 layouts —
+    torch derives key names mechanically, so spellings are forced), and the
+    torch shapes must map onto the full-width flax leaves. This is the
+    SDXL-manifest treatment (test_ckpt_manifest.py) for the face models;
+    reference load contract: face_restoration_helper.py:114-118."""
+    manifest = face_manifests[which]
+    rules, params = _rules_and_model(which)
+
+    rule_keys = {tk for tk, _, _ in rules}
+    missing = rule_keys - set(manifest)
+    extra = set(manifest) - rule_keys
+    assert not missing, sorted(missing)[:5]
+    assert not extra, sorted(extra)[:5]
+    assert len(rule_keys) == len(rules), "duplicate rule keys"
+
+    for tkey, fpath, kind in rules:
+        leaf = _get_path(params, fpath)
+        want = list(_torch_shape(kind, np.zeros(leaf.shape, np.float32)).shape)
+        assert manifest[tkey] == want, (tkey, manifest[tkey], want)
+
+
+def test_face_load_smoke_from_synthetic_checkpoints(tmp_path, face_manifests):
+    """End-to-end: torch-save synthetic checkpoints shaped by the manifest,
+    load through load_retinaface/load_parsenet (strict ConversionReport),
+    and run one detect + parse pass."""
+    torch = pytest.importorskip("torch")
+
+    from supir_tpu.utils.face_ckpt import load_parsenet, load_retinaface
+
+    paths = {}
+    rng = np.random.default_rng(0)
+    for which in ("retinaface", "parsenet"):
+        sd = {
+            k: torch.from_numpy(rng.normal(0, 0.05, shape).astype(np.float32))
+            for k, shape in face_manifests[which].items()
+        }
+        # running_var must stay positive
+        for k in sd:
+            if k.endswith("running_var"):
+                sd[k] = sd[k].abs() + 1.0
+        p = tmp_path / f"{which}.pth"
+        torch.save(sd, str(p))
+        paths[which] = str(p)
+
+    det = load_retinaface(paths["retinaface"], canvas=64)
+    faces = det.detect_faces(np.zeros((48, 48, 3), np.uint8))
+    assert faces.shape[1] == 15
+
+    parser = load_parsenet(paths["parsenet"])
+    mask = parser.parse_mask(np.zeros((512, 512, 3), np.uint8))
+    assert mask.shape == (512, 512)
+    assert np.isfinite(mask).all()
