@@ -104,9 +104,49 @@ class LPIPS(nn.Module):
 
 _lpips_params = None
 
+# torchvision vgg16 `features` Sequential indices of the 13 convs; the
+# slice boundaries (reference lpips.py:109-119: 0-3 / 4-8 / 9-15 / 16-22 /
+# 23-29) put maxpools at 4, 9, 16, 23 — matching VGG16Features' pool-after-
+# slice ordering
+VGG_TORCH_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def convert_lpips_state(vgg_sd: dict, lin_sd: dict) -> dict:
+    """(torchvision vgg16 state dict, vgg_lpips/`vgg.pth` lin checkpoint)
+    -> flax LPIPS params tree.
+
+    The reference builds its perceptual net from torchvision's pretrained
+    vgg16 `features` plus the taming `vgg.pth` linear heads
+    (lpips.py:16-31: `vgg16(pretrained=True)` + strict=False load of
+    lin{0..4}.model.1.weight). Raises on any missing key; ignores
+    classifier.* / scaling_layer.* extras."""
+    params: dict = {"vgg": {}}
+    for i, t in enumerate(VGG_TORCH_CONV_IDX):
+        w = np.asarray(vgg_sd[f"features.{t}.weight"], np.float32)
+        b = np.asarray(vgg_sd[f"features.{t}.bias"], np.float32)
+        params["vgg"][f"conv_{i}"] = {
+            "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(b),
+        }
+    for i in range(5):
+        w = np.asarray(lin_sd[f"lin{i}.model.1.weight"], np.float32)  # [1,C,1,1]
+        params[f"lin_{i}"] = jnp.asarray(w.transpose(0, 2, 3, 1))
+    return params
+
+
+def load_lpips_from_torch(vgg_path: str, lin_path: str):
+    """Load LPIPS weights from the reference's own sources: a torchvision
+    vgg16 checkpoint + the taming `vgg.pth` linear heads."""
+    from supir_tpu.utils.ckpt import load_torch_file
+
+    global _lpips_params
+    _lpips_params = convert_lpips_state(
+        load_torch_file(vgg_path), load_torch_file(lin_path)
+    )
+
 
 def load_lpips_params(path: str):
-    """Load converted VGG+linear weights (npz of the flax tree)."""
+    """Load converted VGG+linear weights (pickle of the flax tree)."""
     global _lpips_params
     import pickle
 
