@@ -80,10 +80,12 @@ def test_pil_to_array_gamma():
     gamma=1 is the identity, gamma>1 darkens mid-tones."""
     rng = np.random.default_rng(0)
     img = Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
-    base, _, _ = pil_to_array(img)  # min_size upscales to 1024-class; fine
-    same, _, _ = pil_to_array(img, gamma=1.0)
+    # min_size=64 keeps the resize a no-op — the default 1024 upscale cost
+    # ~10 s of compile for a gamma unit test
+    base, _, _ = pil_to_array(img, min_size=64)
+    same, _, _ = pil_to_array(img, gamma=1.0, min_size=64)
     np.testing.assert_array_equal(base, same)
-    dark, _, _ = pil_to_array(img, gamma=2.0)
+    dark, _, _ = pil_to_array(img, gamma=2.0, min_size=64)
     assert dark.mean() < base.mean()
     # exact contract on one value: uint8 quantized power curve
     u = ((base + 1) / 2 * 255).round()

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig
 from supir_tpu.parallel.mesh import make_mesh
@@ -18,6 +19,7 @@ def test_sharded_captioner_matches_unsharded():
     assert got == want
 
 
+@pytest.mark.heavy
 def test_dual_model_placement_disjoint_devices():
     """The reference pins SUPIR to cuda:0 and LLaVA to cuda:1
     (test.py:10-17). TPU re-expression: the engine and the captioner get

@@ -4,6 +4,7 @@ mode freezes the decoder."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig
 from supir_tpu.captioner.train import IGNORE_INDEX, CaptionerTrainer, causal_lm_loss
@@ -92,6 +93,7 @@ def test_lora_mode_trains_adapters_freezes_base():
     assert any(np.abs(v).sum() > 0 for v in b_leaves)
 
 
+@pytest.mark.heavy
 def test_ucg_rate_dropout():
     from supir_tpu.engine.factory import create_engine, tiny_test_config
 

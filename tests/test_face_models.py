@@ -60,6 +60,7 @@ def test_nms_suppresses_overlaps():
     assert keep == [0, 2]
 
 
+@pytest.mark.heavy
 def test_retinaface_output_shapes():
     model = RetinaFace()
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)
@@ -245,6 +246,7 @@ def test_face_rules_bijective_vs_manifest(which, face_manifests):
         assert manifest[tkey] == want, (tkey, manifest[tkey], want)
 
 
+@pytest.mark.heavy
 def test_face_load_smoke_from_synthetic_checkpoints(tmp_path, face_manifests):
     """End-to-end: torch-save synthetic checkpoints shaped by the manifest,
     load through load_retinaface/load_parsenet (strict ConversionReport),

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from supir_tpu.utils.checkpoint import load_params, save_params
 from supir_tpu.utils.metrics import LPIPS, psnr, ssim
@@ -57,6 +58,7 @@ def test_phase_timers():
     sync(x)
 
 
+@pytest.mark.heavy
 def test_lpips_converter_torch_golden(rng):
     """VERDICT round-2 weak 6: validate the LPIPS path offline. Synthesizes
     a torchvision-style vgg16 `features` state dict + taming `vgg.pth` lin

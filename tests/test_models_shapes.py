@@ -28,6 +28,7 @@ def test_encoder_feature_channels():
     assert chans == [m, m, m, m, 2 * m, 2 * m, 2 * m, 4 * m, 4 * m]
 
 
+@pytest.mark.heavy
 def test_vae_roundtrip_shapes(keys):
     vae = AutoencoderKL(CFG.vae)
     x = jnp.zeros((1, 64, 64, 3))
@@ -58,6 +59,7 @@ def test_unet_forward_shape(keys):
     assert out.dtype == jnp.float32
 
 
+@pytest.mark.heavy
 def test_glv_control_pyramid(keys):
     """The control net must emit the exact 10-feature pyramid the XL-base
     mode table expects (cond_output_channels, SUPIR_v0.py:547)."""
@@ -76,6 +78,7 @@ def test_glv_control_pyramid(keys):
     assert got_sp == [16, 16, 16, 8, 8, 8, 4, 4, 4, 4]
 
 
+@pytest.mark.heavy
 def test_light_glv_unet_consumes_control(keys):
     ctrl_net = GLVControl(CFG.unet)
     unet = LightGLVUNet(CFG.unet, CFG.control)
@@ -92,6 +95,7 @@ def test_light_glv_unet_consumes_control(keys):
     assert out.dtype == jnp.float32
 
 
+@pytest.mark.heavy
 def test_control_scale_zero_matches_plain_path(keys):
     """With control_scale=0 every ZeroSFT blends to the raw stream, so the
     output must be exactly the plain decoder result regardless of control."""

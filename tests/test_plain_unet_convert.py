@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from supir_tpu.config import SUPIRConfig
 from supir_tpu.models.unet import UNetModel
@@ -10,6 +11,7 @@ from supir_tpu.utils import ckpt as C
 from tests.test_ckpt_converter import _fake_torch_sd_from_flax, _flatten
 
 
+@pytest.mark.heavy
 def test_plain_unet_rules_roundtrip():
     cfg = SUPIRConfig.tiny().unet
     unet = UNetModel(cfg)

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from supir_tpu.config import SUPIRConfig
 from supir_tpu.models.control import GLVControl, LightGLVUNet
 from supir_tpu.utils import ckpt as C

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from supir_tpu.config import SamplerConfig
 from supir_tpu.diffusion import samplers as S
 from supir_tpu.diffusion.discretization import legacy_ddpm_sigmas

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from supir_tpu.config import VAEConfig
 from supir_tpu.models.vae import AutoencoderKL, DiagonalGaussian
 from supir_tpu.utils import ckpt as C

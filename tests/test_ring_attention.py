@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from supir_tpu.ops.attention import _xla_attention
 from supir_tpu.parallel.mesh import make_mesh
@@ -84,6 +85,7 @@ def test_auto_dispatch_ineligible_falls_back():
             assert "collective_permute" not in lowered, name
 
 
+@pytest.mark.heavy
 def test_engine_sequence_mesh_routes_through_ring(monkeypatch):
     """End-to-end wiring (VERDICT round-2 item 6): the engine's network path
     (GLVControl + UNet through the ops dispatch) lowers with

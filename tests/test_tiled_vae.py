@@ -80,6 +80,7 @@ def test_tiled_decode_runs_and_matches_shape(vae_setup):
     assert corr > 0.5, corr
 
 
+@pytest.mark.heavy
 def test_chunked_default_exact_matches_unchunked(vae_setup):
     """The chunked DEFAULT (staged-exact executor) equals the unchunked run
     to float tolerance: global GN pooling is exact, the reference's default
@@ -106,6 +107,7 @@ def test_chunked_default_exact_matches_unchunked(vae_setup):
     assert fm.shape == un.shape and np.isfinite(fm).all()
 
 
+@pytest.mark.heavy
 def test_chunked_decode_exact_matches_unchunked(vae_setup):
     vae, params = vae_setup
     z = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 32, 4)) * 0.2

@@ -49,6 +49,7 @@ def test_stage1_and_history(demo):
     assert not demo.feedback("nonexistent", 1)
 
 
+@pytest.mark.heavy
 def test_stage2_runs(demo):
     out = demo.stage2(
         {"image": _img_b64(), "edm_steps": 2, "upscale": 1, "preset": "Fidelity",
