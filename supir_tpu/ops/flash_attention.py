@@ -221,10 +221,15 @@ def flash_attention(
 
     b, s, h, d = q.shape
     t = k.shape[1]
-    if bq is None:
-        bq = 512
-    if bkv is None:
-        bkv = 2048 if t >= 2048 else 1024
+    if bq is None or bkv is None:
+        import os
+
+        if bq is None:
+            bq = int(os.environ.get("SUPIR_FLASH_BQ", "0")) or 512
+        if bkv is None:
+            bkv = int(os.environ.get("SUPIR_FLASH_BKV", "0")) or (
+                2048 if t >= 2048 else 1024
+            )
     bq = min(bq, max(8, 1 << (s - 1).bit_length()))
     bkv = min(bkv, max(128, 1 << (t - 1).bit_length()))
     scale = d**-0.5

@@ -11,6 +11,10 @@ import os
 # plugin pulls it in before conftest), but no backend is initialized yet, so
 # runtime config still takes effect. The session may have JAX_PLATFORMS
 # pointing at a real TPU; tests need the CPU mesh and fp32 numerics.
+# NB: the jax.config.update("jax_platforms", "cpu") below is LOAD-BEARING,
+# not belt-and-braces — this image's sitecustomize pins jax_platforms=axon
+# ahead of the JAX_PLATFORMS env var, and initializing the axon backend
+# can hang INDEFINITELY when its TPU tunnel is wedged.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
