@@ -385,7 +385,7 @@ class SUPIREngine:
     def _tiled_sample_fn(
         self, num_steps: int, s_noise: float, tile_size: int, tile_stride: int,
         local_prompts: bool, mesh_key=None, sampler_name: str = "TiledRestoreEDM",
-        tile_chunk: Optional[int] = None,
+        tile_chunk: Optional[int] = None, segmented: bool = False,
     ):
         from supir_tpu.parallel.tiled_sampler import (
             make_tiled_denoise,
@@ -395,7 +395,8 @@ class SUPIREngine:
 
         mesh = self._tiled_mesh if mesh_key is not None else None
 
-        def f(params, noised_z, c, uc, x_center, tables, rng, step_offset=0):
+        def f(params, noised_z, c, uc, x_center, tables, rng, step_offset=0,
+              carry=None, bt_range=None):
             # conditioning without 'control' (tiles carry their own slices)
             def denoise_flat(x_flat, sigma_b, cfg_b, ctrl_s, control_flat, ca_flat):
                 bb = x_flat.shape[0]
@@ -440,6 +441,8 @@ class SUPIREngine:
                     tile_size=tile_size, tile_stride=tile_stride,
                     eta=self.cfg.sampler.eta, s_noise=s_noise,
                     crossattn_tiles=ca_tiles,
+                    step_offset=step_offset, carry_in=carry,
+                    bt_range=bt_range, return_carry=segmented,
                 )
             return tiled_restore_edm_sample(
                 denoise_tile, noised_z, rng, tables,
@@ -536,12 +539,20 @@ class SUPIREngine:
             # keys are fold_in(rng, global_step) so segmentation is
             # bit-invariant: steps_per_call in {None, 5, 10} give identical
             # outputs for a fixed seed.
-            if sampler_name == "TiledRestoreDPMPP2M":
-                raise NotImplementedError(
-                    "steps_per_call segments the EDM tiled sampler only "
-                    "(DPM++2M carries old_denoised across steps)"
-                )
+            is_dpmpp = sampler_name == "TiledRestoreDPMPP2M"
             x_cur = noised_z
+            carry = None
+            bt_range = None
+            if is_dpmpp:
+                # DPM++2M carries (old_denoised, prev_sigma) across steps;
+                # thread it across segments and pin the Brownian-tree range
+                # to the GLOBAL schedule so the SDE noise stream is
+                # segmentation-invariant (the tree is keyed by sigma
+                # intervals, not step indices)
+                carry = (jnp.zeros_like(noised_z),
+                         jnp.ones((), jnp.float32))
+                bt_range = (jnp.float32(tables.sigma[-1]),
+                            jnp.float32(tables.sigma[0]))
             for i in range(0, num_steps, steps_per_call):
                 seg_tables = jax.tree_util.tree_map(
                     lambda a: a[i : i + steps_per_call], tables
@@ -551,11 +562,18 @@ class SUPIREngine:
                     local_prompts,
                     mesh_key=id(self._tiled_mesh) if self._tiled_mesh is not None else None,
                     sampler_name=sampler_name, tile_chunk=tile_chunk,
+                    segmented=is_dpmpp,
                 )
-                x_cur = seg_fn(
-                    self.params, x_cur, c, uc, z_stage1, seg_tables,
-                    rng_sample, jnp.int32(i),
-                )
+                if is_dpmpp:
+                    x_cur, carry = seg_fn(
+                        self.params, x_cur, c, uc, z_stage1, seg_tables,
+                        rng_sample, jnp.int32(i), carry, bt_range,
+                    )
+                else:
+                    x_cur = seg_fn(
+                        self.params, x_cur, c, uc, z_stage1, seg_tables,
+                        rng_sample, jnp.int32(i),
+                    )
             samples_z = x_cur
         else:
             samples_z = fn(self.params, noised_z, c, uc, z_stage1, tables, rng_sample)

@@ -149,36 +149,53 @@ def tiled_restore_dpmpp2m_sample(
     eta: float = 1.0,
     s_noise: float = 1.003,
     crossattn_tiles: Optional[jnp.ndarray] = None,
+    step_offset=0,
+    carry_in=None,
+    bt_range=None,
+    return_carry: bool = False,
 ):
     """Tiled DPM++(2M) SDE (reference TiledRestoreDPMPP2MSampler,
     sampling.py:663-730): per-step tile denoise + Gaussian blend of BOTH
-    the state and the old_denoised carry."""
+    the state and the old_denoised carry.
+
+    Segmentation (`steps_per_call`): pass step_offset = global index of
+    this call's first step, carry_in = (old_denoised, prev_sigma) from the
+    previous segment, bt_range = (GLOBAL sigma_min, sigma_max) so the
+    virtual-Brownian-tree noise keys stay segment-invariant, and
+    return_carry=True to get (x, carry) back. The SDE noise itself is keyed
+    by the (sigma, next_sigma) interval, so segmentation is bit-invariant
+    like the EDM sampler's fold_in(rng, global_step) scheme."""
     b, h, w, c = x.shape
     starts, weights, count = make_tile_plan(h, w, tile_size, tile_stride)
     ts = tile_size
     n = tables.num_steps
-    keys = jax.random.split(rng, n)
     count_j = jnp.asarray(count)[None, :, :, None]
     weights_j = jnp.asarray(weights)
 
     sig = jnp.asarray(tables.sigma)
-    prev_sigma = jnp.concatenate([jnp.ones((1,), sig.dtype), sig[:-1]])
+    if carry_in is None:
+        old_denoised0 = jnp.zeros_like(x)
+        prev_sigma0 = jnp.ones((), sig.dtype)
+    else:
+        old_denoised0, prev_sigma0 = carry_in
+    prev_sigma = jnp.concatenate([prev_sigma0[None].astype(sig.dtype), sig[:-1]])
     # traced scalars (tables are dynamic jit args)
-    bt_min = jnp.asarray(tables.sigma)[-1]
-    bt_max = jnp.asarray(tables.sigma)[0]
+    if bt_range is None:
+        bt_min, bt_max = sig[-1], sig[0]
+    else:
+        bt_min, bt_max = bt_range
     xs = (
-        jnp.asarray(np.arange(n, dtype=np.int32)),
+        jnp.asarray(np.arange(n, dtype=np.int32)) + jnp.asarray(step_offset, jnp.int32),
         prev_sigma,
         sig,
         jnp.asarray(tables.next_sigma),
         jnp.asarray(tables.cfg_scale),
         jnp.asarray(tables.control_scale),
-        keys,
     )
 
     def step(carry, scan_in):
         x, old_denoised = carry
-        i, p_sigma, sigma, next_sigma, cfg_s, ctrl_s, key = scan_in
+        i, p_sigma, sigma, next_sigma, cfg_s, ctrl_s = scan_in
         x_tiles = _gather_tiles(x, starts, ts)
         old_tiles = _gather_tiles(old_denoised, starts, ts)
         sig_b = jnp.full((b,), sigma)
@@ -218,7 +235,9 @@ def tiled_restore_dpmpp2m_sample(
         old_new = _scatter_tiles(denoised, starts, x.shape, weights_j) / count_j
         return (x_new, old_new), None
 
-    (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), xs)
+    (x, old_denoised), _ = jax.lax.scan(step, (x, old_denoised0), xs)
+    if return_carry:
+        return x, (old_denoised, sig[-1])
     return x
 
 
