@@ -65,6 +65,8 @@ def main():
                          "random weights; tokens/s on one chip)")
     ap.add_argument("--bits", type=int, default=4, choices=(4, 8),
                     help="weight quantization for --captioner")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="int8 KV cache for --captioner (default bf16)")
     args = ap.parse_args()
 
     if args.vae4k:
@@ -167,7 +169,7 @@ def main():
         pass
 
 
-def make_captioner_agent(bits: int, new_tokens: int = 64):
+def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False):
     """Abstract-weights captioner at 13B dims (tiny on CPU) for throughput
     work; weight VALUES are irrelevant to decode speed, so the quantized
     tree is built via eval_shape + zeros — 13B bf16 would not even fit in
@@ -237,7 +239,7 @@ def make_captioner_agent(bits: int, new_tokens: int = 64):
     qcfg = dc.replace(
         cfg,
         compute_dtype="bfloat16" if on_tpu else cfg.compute_dtype,
-        kv_dtype="bfloat16" if on_tpu else cfg.kv_dtype,
+        kv_dtype="int8" if kv_int8 else ("bfloat16" if on_tpu else cfg.kv_dtype),
         llama=dc.replace(
             cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4,
             fused_qkv=True,
@@ -261,7 +263,9 @@ def bench_captioner(args):
     jitted + prefill + 64-token decode + host stop-checks): 36.8 tok/s vs
     15.1 in round 2."""
     bits = args.bits
-    agent, new_tokens, model_name = make_captioner_agent(bits)
+    agent, new_tokens, model_name = make_captioner_agent(
+        bits, kv_int8=getattr(args, "kv_int8", False)
+    )
 
     img = np.zeros((336, 336, 3), np.uint8)
     t0 = time.perf_counter()

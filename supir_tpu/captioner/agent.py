@@ -53,11 +53,13 @@ class CaptionerConfig:
     mm_hidden_layer: int = -2
     max_new_tokens: int = 512
     cache_len: int = 1536
-    # activation compute dtype ("float32" | "bfloat16") and KV-cache dtype.
-    # The reference serves LLaVA in fp16 (builder.py:26-148 torch_dtype);
-    # bf16 is the TPU analogue — fp32 prefill dots run ~8x slower on the
-    # MXU and an fp32 cache doubles the decode's dominant HBM stream
-    # (2.1 GB/token at cache_len 1280, 13B dims).
+    # activation compute dtype ("float32" | "bfloat16") and KV-cache dtype
+    # ("float32" | "bfloat16" | "int8"). The reference serves LLaVA in fp16
+    # (builder.py:26-148 torch_dtype); bf16 is the TPU analogue — fp32
+    # prefill dots run ~8x slower on the MXU and an fp32 cache doubles the
+    # decode's dominant HBM stream (2.1 GB/token at cache_len 1280, 13B
+    # dims). "int8" stores per-(position, head)-scaled int8 KV entries
+    # (llama._quant_kv), halving the bf16 cache stream again.
     compute_dtype: str = "float32"
     kv_dtype: str = "float32"
 
@@ -126,7 +128,9 @@ class CaptionerAgent:
         self.params = params
         self.tokenizer = tokenizer
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self._kv_dtype = jnp.bfloat16 if cfg.kv_dtype == "bfloat16" else jnp.float32
+        self._kv_dtype = {
+            "bfloat16": jnp.bfloat16, "int8": jnp.int8,
+        }.get(cfg.kv_dtype, jnp.float32)
         self.vision = CLIPVisionTower(cfg.vision, dtype=dt)
         self.llama = LlamaForCausalLM(cfg.llama, dtype=dt)
         self.projector = MMProjector.module(cfg.llama.dim, dtype=dt)

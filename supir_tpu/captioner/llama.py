@@ -135,6 +135,20 @@ class Int8Dense(nn.Module):
         return y.reshape(lead + (self.features,)).astype(self.dtype)
 
 
+def _quant_kv(x):
+    """[B, S, H, D] -> (int8 [B, S, H, D], fp32 scale [B, S, H, 1]).
+
+    Per-(position, head) symmetric int8 for the KV cache — the analogue of
+    the weight quantization in ops/quantize.py applied to the decode's
+    other big HBM stream. Scales live outside the cache lanes so the
+    dequant is a fused convert-multiply on the attention dot's operand."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 _PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
 
 
@@ -145,7 +159,12 @@ def quantize_llama_params(params, bits: int = 8, fuse: bool = False):
     fuse=True (LlamaConfig.fused_qkv), q/k/v merge into one qkv_proj and
     gate/up into one gateup_proj along the OUT axis before quantizing —
     per-out-channel scales make the merged result bit-identical to the
-    separate quantizations. Returns (new_params, bytes_saved)."""
+    separate quantizations. Returns (new_params, bytes_saved).
+
+    The lm_head kernel is cast to bf16 (not int-quantized: bitsandbytes
+    keeps lm_head in fp16 too, and the reference serves the whole model
+    fp16, builder.py:26-148) — an fp32 head kernel alone reads 0.66 GB
+    per decoded token."""
     from supir_tpu.ops.quantize import quantize_int4, quantize_int8
 
     assert bits in (8, 4)
@@ -181,6 +200,12 @@ def quantize_llama_params(params, bits: int = 8, fuse: bool = False):
         for k, v in node.items():
             if k in _PROJ_NAMES and isinstance(v, dict) and "Dense_0" in v:
                 out[k] = one(np.asarray(v["Dense_0"]["kernel"], np.float32))
+            elif k == "lm_head":
+                out[k] = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.bfloat16)
+                    if getattr(a, "ndim", 0) == 2 else a,
+                    v,
+                )
             else:
                 out[k] = walk(v)
         return out
@@ -220,13 +245,31 @@ class LlamaBlock(nn.Module):
         v = v.reshape(b, s, c.kv_heads, hd)
 
         if cache is not None:
-            ck, cv = cache  # [B, L, H, D]
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-            k_all, v_all = ck, cv
-            new_cache = (ck, cv)
+            if len(cache) == 4:
+                # int8 KV cache: per-(position, head) symmetric scales; the
+                # dequant (convert * broadcast-scale) fuses into the QK/PV
+                # dot operand reads so only int8 bytes stream from HBM —
+                # halves the decode's second-largest HBM term (1.05 GB/token
+                # bf16 at 13B dims, cache_len 1280)
+                kq, ks, vq, vs = cache  # [B,L,H,D] int8 + [B,L,H,1] scales
+                nkq, nks = _quant_kv(k)
+                nvq, nvs = _quant_kv(v)
+                at = (0, cache_index, 0, 0)
+                kq = jax.lax.dynamic_update_slice(kq, nkq, at)
+                ks = jax.lax.dynamic_update_slice(ks, nks.astype(ks.dtype), at)
+                vq = jax.lax.dynamic_update_slice(vq, nvq, at)
+                vs = jax.lax.dynamic_update_slice(vs, nvs.astype(vs.dtype), at)
+                k_all = kq.astype(x.dtype) * ks.astype(x.dtype)
+                v_all = vq.astype(x.dtype) * vs.astype(x.dtype)
+                new_cache = (kq, ks, vq, vs)
+            else:
+                ck, cv = cache  # [B, L, H, D]
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+                k_all, v_all = ck, cv
+                new_cache = (ck, cv)
             # mask out cache positions beyond (cache_index + s)
-            lcache = ck.shape[1]
+            lcache = k_all.shape[1]
             col = jnp.arange(lcache)[None, None, None, :]
             valid = col < (cache_index + s)
             bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
@@ -303,6 +346,16 @@ class LlamaForCausalLM(nn.Module):
 
     def init_cache(self, batch: int, length: int, dtype=jnp.float32):
         c = self.cfg
+        if dtype == jnp.int8:
+            return [
+                (
+                    jnp.zeros((batch, length, c.kv_heads, c.head_dim), jnp.int8),
+                    jnp.zeros((batch, length, c.kv_heads, 1), jnp.float32),
+                    jnp.zeros((batch, length, c.kv_heads, c.head_dim), jnp.int8),
+                    jnp.zeros((batch, length, c.kv_heads, 1), jnp.float32),
+                )
+                for _ in range(c.layers)
+            ]
         return [
             (
                 jnp.zeros((batch, length, c.kv_heads, c.head_dim), dtype),

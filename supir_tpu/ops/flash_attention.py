@@ -120,6 +120,47 @@ def _attn_kernel_packed(
         o_ref[0] = (acc_scr[:] / norm).astype(o_ref.dtype)
 
 
+def _attn_kernel_packed_single(
+    q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, bq, bkv, d, gsize, causal,
+    ragged,
+):
+    """One-kv-block specialization of `_attn_kernel_packed`.
+
+    When the whole key range fits a single kv block (every 1024-token UNet
+    self-attention site at the default bkv, and the captioner prefill),
+    the online-softmax machinery is pure overhead: no scratch init pass, no
+    running-max correction rescale of the accumulator, no m/l broadcasts,
+    no separate final normalize pass. The softmax is computed closed-form
+    per tile and the output written once. Saves ~4 [bq, *] VPU passes per
+    tile vs the general kernel.
+    """
+    q_i = pl.program_id(1)
+    c = scale * LOG2E
+    need_mask = ragged or causal
+    if need_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0) + q_i * bq
+            mask = mask & (col <= row)
+    for g in range(gsize):
+        sl = slice(g * d, (g + 1) * d)
+        s = jax.lax.dot_general(
+            q_ref[0][:, sl], k_ref[0][:, sl],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        if need_mask:
+            s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2((s - m) * c)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0][:, sl],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _attn_kernel(
     *refs, scale, kv_len, bkv, causal, bq, alibi
 ):
@@ -244,11 +285,23 @@ def flash_attention(
         vb = _pad_to(v.reshape(b, t, h * d), 1, bkv)
         s_pad, t_pad = qb.shape[1], kb.shape[1]
         grid = (b * hg, s_pad // bq, t_pad // bkv)
-        kernel = functools.partial(
-            _attn_kernel_packed, scale=scale, kv_len=t, bq=bq, bkv=bkv, d=d,
-            gsize=gsize, causal=causal, ragged=(t_pad != t),
-        )
         gd = gsize * d
+        if t_pad == bkv:
+            kernel = functools.partial(
+                _attn_kernel_packed_single, scale=scale, kv_len=t, bq=bq,
+                bkv=bkv, d=d, gsize=gsize, causal=causal, ragged=(t_pad != t),
+            )
+            scratch = []
+        else:
+            kernel = functools.partial(
+                _attn_kernel_packed, scale=scale, kv_len=t, bq=bq, bkv=bkv,
+                d=d, gsize=gsize, causal=causal, ragged=(t_pad != t),
+            )
+            scratch = [
+                pltpu.VMEM((bq, gd), jnp.float32),
+                pltpu.VMEM((bq, gd), jnp.float32),
+                pltpu.VMEM((bq, gd), jnp.float32),
+            ]
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -259,11 +312,7 @@ def flash_attention(
             ],
             out_specs=pl.BlockSpec((1, bq, gd), lambda g, i, j: (g // hg, i, g % hg)),
             out_shape=jax.ShapeDtypeStruct(qb.shape, q.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((bq, gd), jnp.float32),
-                pltpu.VMEM((bq, gd), jnp.float32),
-                pltpu.VMEM((bq, gd), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(qb, kb, vb)
         return out[:, :s].reshape(b, s, h, d)

@@ -144,3 +144,38 @@ def test_caption_generation_end_to_end():
     # deterministic at temperature 0
     caps2 = agent.gen_image_caption([img], temperature=0.0)
     assert caps == caps2
+
+
+def test_llama_int8_kv_cache_close_to_full_forward():
+    """int8 KV cache (per-position/head scales, llama._quant_kv) tracks the
+    full-sequence forward within quantization tolerance and keeps argmax
+    decisions on a spread-out logit distribution."""
+    cfg = LlamaConfig().tiny()
+    model = LlamaForCausalLM(cfg)
+    rng = jax.random.PRNGKey(3)
+    ids = jax.random.randint(rng, (2, 10), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(10), (2, 10))
+    params = model.init(rng, ids, pos, method=model.forward_ids)["params"]
+
+    embeds = model.apply({"params": params}, ids, method=model.embed)
+    full_logits, _ = model.apply({"params": params}, embeds, pos)
+
+    caches = model.init_cache(2, 16, dtype=jnp.int8)
+    assert len(caches[0]) == 4 and caches[0][0].dtype == jnp.int8
+    lg, caches = model.apply(
+        {"params": params}, embeds[:, :6], pos[:, :6], caches=caches, cache_index=0
+    )
+    scale = float(np.abs(np.asarray(full_logits)).max())
+    np.testing.assert_allclose(
+        np.asarray(lg[:, -1]), np.asarray(full_logits[:, 5]),
+        atol=0.02 * scale,
+    )
+    for i in range(6, 10):
+        lg, caches = model.apply(
+            {"params": params}, embeds[:, i : i + 1], pos[:, i : i + 1],
+            caches=caches, cache_index=i,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg[:, 0]), np.asarray(full_logits[:, i]),
+            atol=0.02 * scale, err_msg=f"step {i}",
+        )

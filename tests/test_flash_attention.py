@@ -109,3 +109,17 @@ def test_flash_adaptive_block_defaults():
     a = flash_attention(q, k, v, interpret=True)
     bref = flash_attention(q, k, v, bq=64, bkv=128, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(bref), atol=2e-3)
+
+
+def test_flash_single_kv_block_specialization():
+    """When the whole key range fits one kv block the specialized
+    closed-form-softmax kernel runs (no online-softmax scratch); outputs
+    must match the multi-block kernel and XLA, incl. ragged + causal."""
+    b, h, d = 2, 4, 64
+    for s, t, causal in [(256, 256, False), (256, 230, False), (256, 256, True)]:
+        q, k, v = _rand(20, (b, s, h, d)), _rand(21, (b, t, h, d)), _rand(22, (b, t, h, d))
+        want = _xla_attention(q, k, v, causal=causal)
+        one = flash_attention(q, k, v, causal=causal, bq=128, bkv=256, interpret=True)
+        multi = flash_attention(q, k, v, causal=causal, bq=128, bkv=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(one), np.asarray(want), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(one), np.asarray(multi), atol=2e-3)
