@@ -1,0 +1,85 @@
+"""Unattended TPU A/B runner: waits for the tunneled device to come back,
+then runs the perf measurement sequence SERIALLY (the host cannot take two
+compile-heavy JAX jobs at once), appending JSON lines to --log.
+
+Each stage runs as a subprocess with its own timeout so a wedged tunnel
+kills the stage, not the runner; stages retry on the next probe success.
+
+Usage: python tools/ab_runner.py [--log /tmp/ab_results.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE = (
+    "import jax,time;t0=time.time();import jax.numpy as jnp;"
+    "x=jnp.ones((256,256));print('probe-ok',float((x@x).sum()),flush=True);"
+    "import os;os._exit(0)"
+)
+
+STAGES = [
+    ("step_profile", [sys.executable, "tools/profile_step.py", "--iters", "10",
+                      "--skip-vae"], 1500),
+    ("captioner_int4", [sys.executable, "bench.py", "--captioner"], 1200),
+    ("captioner_int4_kv8", [sys.executable, "bench.py", "--captioner",
+                            "--kv_int8"], 1200),
+    ("headline", [sys.executable, "bench.py"], 1500),
+    ("vae8k", [sys.executable, "bench.py", "--vae8k"], 1200),
+    ("full4k", [sys.executable, "bench.py", "--full4k"], 2400),
+]
+
+
+def run(cmd, timeout):
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            cmd, cwd=ROOT, timeout=timeout, capture_output=True, text=True
+        )
+        tail = (p.stdout + p.stderr)[-4000:]
+        return {"rc": p.returncode, "s": round(time.time() - t0, 1), "tail": tail}
+    except subprocess.TimeoutExpired:
+        return {"rc": -9, "s": round(time.time() - t0, 1), "tail": "TIMEOUT"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", default="/tmp/ab_results.jsonl")
+    ap.add_argument("--probe_every", type=int, default=120)
+    ap.add_argument("--max_hours", type=float, default=6.0)
+    args = ap.parse_args()
+
+    done = set()
+    t_start = time.time()
+    while len(done) < len(STAGES) and time.time() - t_start < args.max_hours * 3600:
+        pr = run([sys.executable, "-c", PROBE], 90)
+        alive = pr["rc"] == 0 and "probe-ok" in pr["tail"]
+        print(f"probe alive={alive} ({pr['s']}s)", flush=True)
+        if not alive:
+            time.sleep(args.probe_every)
+            continue
+        for name, cmd, to in STAGES:
+            if name in done:
+                continue
+            print(f"=== {name}: {' '.join(cmd)}", flush=True)
+            r = run(cmd, to)
+            rec = {"stage": name, **r, "ts": time.time()}
+            with open(args.log, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"=== {name} rc={r['rc']} {r['s']}s", flush=True)
+            if r["rc"] != 0:
+                # tunnel likely died mid-stage; back to probing
+                break
+            done.add(name)
+    print(f"done stages: {sorted(done)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
