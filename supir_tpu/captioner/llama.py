@@ -268,15 +268,22 @@ class LlamaBlock(nn.Module):
                 cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
                 k_all, v_all = ck, cv
                 new_cache = (ck, cv)
-            # mask out cache positions beyond (cache_index + s)
-            lcache = k_all.shape[1]
-            col = jnp.arange(lcache)[None, None, None, :]
-            valid = col < (cache_index + s)
-            bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
-            row = jnp.arange(s)[None, None, :, None] + cache_index
-            causal = col <= row
-            bias = bias + jnp.where(causal, 0.0, -1e30)
-            out = dot_product_attention(q, k_all, v_all, bias=bias, impl="xla")
+            if isinstance(cache_index, int) and cache_index == 0:
+                # prefill fast path: nothing precedes these s tokens, so
+                # attention over the fresh k/v with a causal mask is exact —
+                # skips the [B, H, s, cache_len] full-cache bias logits
+                # (cache_len 1280 vs s~700 at 13B) and is flash-eligible
+                out = dot_product_attention(q, k, v, causal=True, impl="auto")
+            else:
+                # mask out cache positions beyond (cache_index + s)
+                lcache = k_all.shape[1]
+                col = jnp.arange(lcache)[None, None, None, :]
+                valid = col < (cache_index + s)
+                bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+                row = jnp.arange(s)[None, None, :, None] + cache_index
+                causal = col <= row
+                bias = bias + jnp.where(causal, 0.0, -1e30)
+                out = dot_product_attention(q, k_all, v_all, bias=bias, impl="xla")
         else:
             new_cache = None
             out = dot_product_attention(q, k, v, bias=attn_bias, causal=True, impl="xla")
