@@ -111,13 +111,24 @@ class MPTBlock(nn.Module):
                 lcache = ck.shape[1]
                 k_all = jnp.broadcast_to(ck, (b, lcache, c.n_heads, hd))
                 v_all = jnp.broadcast_to(cv, (b, lcache, c.n_heads, hd))
-            lcache = ck.shape[1]
-            col = jnp.arange(lcache)[None, None, None, :]
-            row = jnp.arange(s)[None, None, :, None] + cache_index
-            valid = (col < (cache_index + s)) & (col <= row)
-            bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
-            bias = bias + alibi_bias  # [1,H,1,L] column bias
-            out = dot_product_attention(q, k_all, v_all, bias=bias, impl="xla")
+            if isinstance(cache_index, int) and cache_index == 0:
+                # prefill fast path: nothing precedes these s tokens, and the
+                # ALiBi column bias is shift-invariant under softmax, so the
+                # fused-ALiBi causal kernel over the fresh k/v is exact —
+                # skips the [B, H, s, cache_len] bias materialization
+                kf, vf = k_all[:, :s], v_all[:, :s]
+                out = dot_product_attention(
+                    q, kf, vf, causal=True,
+                    alibi_slopes=alibi_slopes(c.n_heads, c.alibi_bias_max),
+                )
+            else:
+                lcache = ck.shape[1]
+                col = jnp.arange(lcache)[None, None, None, :]
+                row = jnp.arange(s)[None, None, :, None] + cache_index
+                valid = (col < (cache_index + s)) & (col <= row)
+                bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+                bias = bias + alibi_bias  # [1,H,1,L] column bias
+                out = dot_product_attention(q, k_all, v_all, bias=bias, impl="xla")
         else:
             new_cache = None
             if c.multiquery:
