@@ -26,6 +26,7 @@ PROBE = (
 )
 
 STAGES = [
+    ("int4_native_probe", [sys.executable, "tools/int4_native_probe.py"], 600),
     ("step_profile", [sys.executable, "tools/profile_step.py", "--iters", "10",
                       "--skip-vae"], 1500),
     ("captioner_int4", [sys.executable, "bench.py", "--captioner"], 1200),
