@@ -289,6 +289,55 @@ def bench_captioner(args):
     print(f"caption wall: {dt:.2f}s for {new_tokens} tokens "
           f"(compile+warm {t_compile:.1f}s)", file=sys.stderr)
 
+    # pure chained-decode rate + roofline recomputed from the live param
+    # tree (not asserted constants): time the jitted 16-token decode chunk
+    # back-to-back, and derive speed-of-light from the actual bytes a
+    # decode step streams (quantized block weights + full KV cache read +
+    # lm_head) at the v5e's 819 GB/s
+    try:
+        import jax.numpy as jnp
+
+        cfg = agent.cfg
+        _, _, decode_chunk = agent._prefill_decode
+        caches = agent.llama.init_cache(1, cfg.cache_len, dtype=agent._kv_dtype)
+        tok = jnp.zeros((1,), jnp.int32)
+        pos0 = jnp.full((1,), 64, jnp.int32)
+        rng = jax.random.PRNGKey(0)
+        toks, caches = decode_chunk(agent.params, tok, pos0, caches, rng, 0.0, 0.7)
+        jax.block_until_ready(toks)  # warm (already compiled by the caption)
+        n_chunks, chunk = 6, toks.shape[0]
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            toks, caches = decode_chunk(
+                agent.params, toks[-1], pos0 + (i + 1) * chunk, caches, rng, 0.0, 0.7
+            )
+        jax.block_until_ready(toks)
+        ms_tok = (time.perf_counter() - t0) / (n_chunks * chunk) * 1e3
+
+        import jax.tree_util as jtu
+
+        blk = sum(
+            v.nbytes for p, v in jtu.tree_leaves_with_path(agent.params["llama"])
+            if getattr(v, "nbytes", 0) and "layer_" in jax.tree_util.keystr(p)
+            and "scale" not in jax.tree_util.keystr(p)
+        )
+        kv = sum(v.nbytes for c in caches for v in c)
+        head = sum(
+            v.nbytes for p, v in jtu.tree_leaves_with_path(agent.params["llama"])
+            if "lm_head" in jax.tree_util.keystr(p)
+        )
+        gb = (blk + kv + head) / 1e9
+        sol_ms = gb / 819.0 * 1e3
+        print(
+            f"chained decode: {ms_tok:.2f} ms/token ({1e3/ms_tok:.1f} tok/s); "
+            f"streams {gb:.2f} GB/token (blocks {blk/1e9:.2f} + KV {kv/1e9:.2f} "
+            f"+ head {head/1e9:.2f}) -> SoL {sol_ms:.2f} ms/token at 819 GB/s "
+            f"= {100*sol_ms/ms_tok:.0f}% of weight-streaming bound",
+            file=sys.stderr,
+        )
+    except Exception as e:  # diagnostics only — never fail the bench line
+        print(f"decode-rate probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+
 
 def bench_full4k(args):
     """Single-chip end-to-end 4K restoration: tiled-VAE stage-1 encode +
