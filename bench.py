@@ -67,6 +67,10 @@ def main():
                     help="weight quantization for --captioner")
     ap.add_argument("--kv_int8", action="store_true",
                     help="int8 KV cache for --captioner (default bf16)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="images restored per program (throughput mode: "
+                         "amortizes per-step fixed costs; sec/image = "
+                         "wall/batch)")
     args = ap.parse_args()
 
     if args.vae4k:
@@ -105,7 +109,7 @@ def main():
         param_dtype=jnp.bfloat16,
     )
 
-    b = 1
+    b = args.batch
     rng = jax.random.PRNGKey(1)
     x = jax.random.uniform(rng, (b, size, size, 3), jnp.float32, -1.0, 1.0)
     lat = size // cfg.vae.downscale_factor
@@ -142,7 +146,9 @@ def main():
     n_rep = 2
     for i in range(n_rep):
         run(i + 1)
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = (time.perf_counter() - t0) / n_rep / b
+    if b > 1:
+        label = label.replace("sec/image", f"sec/image (batch {b})")
 
     print(
         json.dumps(
@@ -159,7 +165,7 @@ def main():
     try:
         from supir_tpu.utils.flops import pipeline_flops
 
-        fl = pipeline_flops(cfg, lat, steps, batch=b)
+        fl = pipeline_flops(cfg, lat, steps, batch=1)  # dt is per image
         print(
             f"MFU estimate: {fl/1e12:.1f} TFLOP sampler / {dt:.2f} s = "
             f"{fl/dt/1e12:.1f} TF/s = {fl/dt/197e12*100:.0f}% of v5e bf16 peak",
