@@ -34,6 +34,7 @@ STAGES = [
                             "--kv_int8"], 1200),
     ("headline", [sys.executable, "bench.py"], 1500),
     ("vae8k", [sys.executable, "bench.py", "--vae8k"], 1200),
+    ("batch2", [sys.executable, "bench.py", "--batch", "2"], 1500),
     ("full4k", [sys.executable, "bench.py", "--full4k"], 2400),
 ]
 
