@@ -112,8 +112,16 @@ def stage3_timing(iters=50):
 
     chain_packed = make_chain(lambda y: _qmm(y, packed, scale, bits=4))
     chain_native = make_chain(lambda y: native_int4_matmul(y, qn, scale))
+    # plain XLA: convert(int4->bf16) should fuse into the dot and stream
+    # the packed buffer directly — no custom kernel at all
+    chain_xla = make_chain(
+        lambda y: jnp.dot(y, qn.astype(y.dtype),
+                          preferred_element_type=jnp.float32) * scale
+    )
 
-    for name, fn in [("packed-uint8", chain_packed), ("native-int4", chain_native)]:
+    for name, fn in [("packed-uint8", chain_packed),
+                     ("native-int4", chain_native),
+                     ("xla-int4-dot", chain_xla)]:
         try:
             fn(x).block_until_ready()
             t0 = time.perf_counter()
