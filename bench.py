@@ -67,6 +67,9 @@ def main():
                     help="weight quantization for --captioner")
     ap.add_argument("--kv_int8", action="store_true",
                     help="int8 KV cache for --captioner (default bf16)")
+    ap.add_argument("--int4_native", action="store_true",
+                    help="native jnp.int4 weight layout for --captioner "
+                         "(one-cast dequant) instead of packed uint8")
     ap.add_argument("--batch", type=int, default=1,
                     help="images restored per program (throughput mode: "
                          "amortizes per-step fixed costs; sec/image = "
@@ -175,7 +178,8 @@ def main():
         pass
 
 
-def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False):
+def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
+                         int4_native: bool = False):
     """Abstract-weights captioner at 13B dims (tiny on CPU) for throughput
     work; weight VALUES are irrelevant to decode speed, so the quantized
     tree is built via eval_shape + zeros — 13B bf16 would not even fit in
@@ -215,6 +219,11 @@ def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False)
         )
 
     def qzeros(cin, cout):
+        if bits == 4 and int4_native:
+            return {
+                "qn": jnp.zeros((cin, cout), jnp.int4),
+                "scale": jnp.ones((1, cout), jnp.float32),
+            }
         if bits == 4:
             return {
                 "q4": jnp.zeros((cin // 2, cout), jnp.uint8),
@@ -248,7 +257,7 @@ def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False)
         kv_dtype="int8" if kv_int8 else ("bfloat16" if on_tpu else cfg.kv_dtype),
         llama=dc.replace(
             cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4,
-            fused_qkv=True,
+            fused_qkv=True, int4_native=int4_native,
         ),
     )
     return CaptionerAgent(qcfg, params), new_tokens, model_name
@@ -270,7 +279,8 @@ def bench_captioner(args):
     15.1 in round 2."""
     bits = args.bits
     agent, new_tokens, model_name = make_captioner_agent(
-        bits, kv_int8=getattr(args, "kv_int8", False)
+        bits, kv_int8=getattr(args, "kv_int8", False),
+        int4_native=getattr(args, "int4_native", False),
     )
 
     img = np.zeros((336, 336, 3), np.uint8)
@@ -322,8 +332,11 @@ def bench_captioner(args):
 
         import jax.tree_util as jtu
 
+        def _nbytes(v):  # jnp.int4 itemsize reports 1 byte; XLA packs 0.5
+            return v.size // 2 if v.dtype == jnp.int4 else v.nbytes
+
         blk = sum(
-            v.nbytes for p, v in jtu.tree_leaves_with_path(agent.params["llama"])
+            _nbytes(v) for p, v in jtu.tree_leaves_with_path(agent.params["llama"])
             if getattr(v, "nbytes", 0) and "layer_" in jax.tree_util.keystr(p)
             and "scale" not in jax.tree_util.keystr(p)
         )

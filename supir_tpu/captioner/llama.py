@@ -49,6 +49,10 @@ class LlamaConfig:
     # separate ones, and 7 -> 4 Pallas GEMV launches per block cuts decode
     # per-call overhead (280 -> 160 launches/token at 40 layers)
     fused_qkv: bool = False
+    # store int4 weights as native jnp.int4 (XLA bit-packs s4, same HBM
+    # bytes) so the dequant is one hardware cast instead of per-nibble
+    # shift math; same [-7,7] grid as the packed layout
+    int4_native: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -112,6 +116,31 @@ class Int4Dense(nn.Module):
         return y.reshape(lead + (self.features,)).astype(self.dtype)
 
 
+class Int4NativeDense(nn.Module):
+    """Dense with native jnp.int4 weights ({'qn','scale'} params)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from supir_tpu.ops.quantize import int4_native_matmul
+
+        qn = self.param(
+            "qn",
+            lambda k, s: jnp.zeros(s, jnp.int4),
+            (x.shape[-1], self.features),
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (1, self.features), jnp.float32
+        )
+        lead = x.shape[:-1]
+        y = int4_native_matmul(
+            x.reshape(-1, x.shape[-1]).astype(self.dtype), qn, scale
+        )
+        return y.reshape(lead + (self.features,)).astype(self.dtype)
+
+
 class Int8Dense(nn.Module):
     """Dense with per-out-channel symmetric int8 weights ({'q','scale'}
     params, see ops/quantize.py). Dequant fuses into the matmul epilogue;
@@ -152,7 +181,8 @@ def _quant_kv(x):
 _PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_llama_params(params, bits: int = 8, fuse: bool = False):
+def quantize_llama_params(params, bits: int = 8, fuse: bool = False,
+                          native: bool = False):
     """fp llama params -> int8/int4 layout (LlamaConfig quantize_int8 /
     quantize_int4): every block projection's Dense_0/kernel becomes
     {'q','scale'} (8-bit) or {'q4','scale'} (packed 4-bit). With
@@ -165,7 +195,9 @@ def quantize_llama_params(params, bits: int = 8, fuse: bool = False):
     keeps lm_head in fp16 too, and the reference serves the whole model
     fp16, builder.py:26-148) — an fp32 head kernel alone reads 0.66 GB
     per decoded token."""
-    from supir_tpu.ops.quantize import quantize_int4, quantize_int8
+    from supir_tpu.ops.quantize import (
+        quantize_int4, quantize_int4_native, quantize_int8,
+    )
 
     assert bits in (8, 4)
     saved = [0]
@@ -174,11 +206,17 @@ def quantize_llama_params(params, bits: int = 8, fuse: bool = False):
         if bits == 8:
             q, scale = quantize_int8(jnp.asarray(w))
             new = {"q": q, "scale": scale}
+        elif native:
+            qn, scale = quantize_int4_native(jnp.asarray(w))
+            new = {"qn": qn, "scale": scale}
         else:
             q4, scale = quantize_int4(jnp.asarray(w))
             new = {"q4": q4, "scale": scale}
-        new_bytes = sum(int(v.size) * v.dtype.itemsize for v in new.values())
-        saved[0] += int(w.size) * 4 - new_bytes
+        new_bytes = sum(
+            int(v.size) * (0.5 if v.dtype == jnp.int4 else v.dtype.itemsize)
+            for v in new.values()
+        )
+        saved[0] += int(int(w.size) * 4 - new_bytes)
         return new
 
     def kern(node, name):
@@ -219,7 +257,8 @@ class LlamaBlock(nn.Module):
 
     def _dense(self, features, name):
         if self.cfg.quantize_int4:
-            return Int4Dense(features, dtype=self.dtype, name=name)
+            cls = Int4NativeDense if self.cfg.int4_native else Int4Dense
+            return cls(features, dtype=self.dtype, name=name)
         if self.cfg.quantize_int8:
             return Int8Dense(features, dtype=self.dtype, name=name)
         return Dense(features, use_bias=False, dtype=self.dtype, name=name)

@@ -9,6 +9,7 @@ traffic for the memory-bound decode of the 13B captioner).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +83,60 @@ def quantize_int4(w: jnp.ndarray):
     half = w.shape[0] // 2
     packed = qu[:half] | (qu[half:] << 4)
     return packed, scale
+
+
+def quantize_int4_native(w: jnp.ndarray):
+    """w [in, out] -> (q jnp.int4 [in, out], scale fp32 [1, out]).
+
+    Native-s4 variant of `quantize_int4`: XLA bit-packs jnp.int4 buffers
+    (verified 0.5 byte/elem), so the HBM stream is identical to the manual
+    uint8 half-split packing, but the dequant is ONE hardware cast instead
+    of per-nibble shift math. Values match quantize_int4 bit-for-bit
+    (same [-7, 7] symmetric grid and scales)."""
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    scale = (absmax / 7.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / jnp.maximum(scale, 1e-12)), -7, 7).astype(jnp.int4)
+    return q, scale
+
+
+def _qmm_native_kernel(x_ref, q_ref, s_ref, o_ref):
+    qb = q_ref[:].astype(x_ref.dtype)  # s4 -> compute dtype, one cast
+    acc = jax.lax.dot_general(
+        x_ref[:], qb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = acc * s_ref[:].astype(jnp.float32)
+
+
+def int4_native_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
+    """x [B, in] @ dequant(q s4) -> [B, out] fp32. Pallas single-out-block
+    GEMV on TPU for decode-sized B (mirrors `_qmm`); XLA fused convert+dot
+    elsewhere (also streams the packed s4 buffer)."""
+    cin, cout = q.shape
+    if (
+        jax.default_backend() == "tpu" and x.ndim == 2 and x.shape[0] <= 32
+        and cin % 256 == 0
+        and cout % _qmm_bout(cin, cout, 4) == 0
+        and os.environ.get("SUPIR_INT4_NATIVE_XLA") != "1"
+    ):
+        b = x.shape[0]
+        bpad = (-b) % 8
+        xb = jnp.pad(x, ((0, bpad), (0, 0))) if bpad else x
+        bout = _qmm_bout(cin, cout, 4)
+        out = pl.pallas_call(
+            _qmm_native_kernel,
+            grid=(cout // bout,),
+            in_specs=[
+                pl.BlockSpec((xb.shape[0], cin), lambda oo: (0, 0)),
+                pl.BlockSpec((cin, bout), lambda oo: (0, oo)),
+                pl.BlockSpec((1, bout), lambda oo: (0, oo)),
+            ],
+            out_specs=pl.BlockSpec((xb.shape[0], bout), lambda oo: (0, oo)),
+            out_shape=jax.ShapeDtypeStruct((xb.shape[0], cout), jnp.float32),
+        )(xb, q, scale)
+        return out[:b]
+    y = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
+    return y * scale.astype(jnp.float32)
 
 
 def _sx4(u: jnp.ndarray) -> jnp.ndarray:

@@ -171,3 +171,28 @@ def test_fused_qkv_quantized_decode_identical():
         cap_sep = a_sep.gen_image_caption([img], temperature=0.0)[0]
         cap_fused = a_fused.gen_image_caption([img], temperature=0.0)[0]
         assert cap_sep == cap_fused, bits
+
+
+def test_int4_native_matches_packed():
+    """quantize_int4_native (jnp.int4 layout) must produce the same value
+    grid as quantize_int4 and the same matmul result through the XLA
+    fallback path."""
+    import jax
+    import jax.numpy as jnp
+    from supir_tpu.ops.quantize import (
+        int4_matmul, int4_native_matmul, quantize_int4,
+        quantize_int4_native, unpack_int4,
+    )
+
+    k = jax.random.PRNGKey(7)
+    w = jax.random.normal(k, (256, 128), jnp.float32)
+    packed, s1 = quantize_int4(w)
+    qn, s2 = quantize_int4_native(w)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(packed)), np.asarray(qn, np.int8)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, 256), jnp.float32)
+    a = int4_matmul(x, packed, s1)
+    b = int4_native_matmul(x, qn, s2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-4)
