@@ -32,6 +32,8 @@ STAGES = [
     ("captioner_int4", [sys.executable, "bench.py", "--captioner"], 1200),
     ("captioner_int4_kv8", [sys.executable, "bench.py", "--captioner",
                             "--kv_int8"], 1200),
+    ("captioner_int4_native", [sys.executable, "bench.py", "--captioner",
+                               "--int4_native"], 1200),
     ("headline", [sys.executable, "bench.py"], 1500),
     ("vae8k", [sys.executable, "bench.py", "--vae8k"], 1200),
     ("batch2", [sys.executable, "bench.py", "--batch", "2"], 1500),
