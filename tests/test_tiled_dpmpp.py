@@ -46,6 +46,7 @@ def test_engine_tiled_dpmpp2m_pipeline():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.heavy
 def test_tiled_dpmpp2m_segmentation_bit_invariant():
     """steps_per_call must not change DPM++2M outputs: the
     (old_denoised, prev_sigma) carry threads across segments and the
@@ -81,6 +82,7 @@ def test_tiled_dpmpp2m_segmentation_bit_invariant():
         np.testing.assert_array_equal(np.asarray(x_cur), np.asarray(full)), seg
 
 
+@pytest.mark.heavy
 def test_engine_dpmpp2m_steps_per_call_matches():
     """Engine-level: batchify_sample_tiled(TiledRestoreDPMPP2M) with
     steps_per_call equals the single-program run (round-2 gap: this raised
