@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--loading_half_params", action="store_true", default=None,
                     help="hold params in bf16 (reference flag; default ON on TPU)")
     ap.add_argument("--full_params", dest="loading_half_params", action="store_false")
+    ap.add_argument("--ae_dtype", type=str, default=None, choices=["bf16", "fp32"],
+                    help="autoencoder compute dtype (reference test.py --ae_dtype)")
+    ap.add_argument("--diff_dtype", type=str, default=None,
+                    choices=["fp16", "bf16", "fp32"],
+                    help="diffusion compute dtype (reference test.py "
+                         "--diff_dtype; fp16 maps to bf16 on TPU)")
     # TPU-specific additions
     ap.add_argument("--random_weights", action="store_true",
                     help="run with random init (no checkpoints; smoke/benchmark)")
@@ -91,6 +97,20 @@ def create_engine_from_args(args):
         engine = create_engine(cfg, cond_cfg, rng=jax.random.PRNGKey(0), image_size=64)
         return engine, cfg
     cfg, extras = load_yaml_config(args.opt)
+    # reference test.py --ae_dtype / --diff_dtype (fp16 maps to bf16: the
+    # TPU half type; the reference itself bans fp16 autoencoders,
+    # SUPIR_model.py:24)
+    dt_map = {"fp16": "bf16", "bf16": "bf16", "fp32": "fp32"}
+    if getattr(args, "ae_dtype", None) or getattr(args, "diff_dtype", None):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg,
+            ae_dtype=dt_map[args.ae_dtype] if args.ae_dtype else cfg.ae_dtype,
+            diffusion_dtype=(
+                dt_map[args.diff_dtype] if args.diff_dtype else cfg.diffusion_dtype
+            ),
+        )
     cond_cfg = ConditionerConfig()
     ckpt = extras.get("SDXL_CKPT")
     supir_ckpt = extras.get(f"SUPIR_CKPT_{args.SUPIR_sign}")
