@@ -70,6 +70,10 @@ def main():
     ap.add_argument("--int4_native", action="store_true",
                     help="native jnp.int4 weight layout for --captioner "
                          "(one-cast dequant) instead of packed uint8")
+    ap.add_argument("--cache_interval", type=int, default=0,
+                    help="cross-step feature cache (RestoreEDM): recompute "
+                         "encoder/control every N steps, reuse in between "
+                         "(0=off, exact; N>1 approximates, DeepCache-style)")
     ap.add_argument("--batch", type=int, default=1,
                     help="images restored per program (throughput mode: "
                          "amortizes per-step fixed costs; sec/image = "
@@ -138,6 +142,7 @@ def main():
             color_fix_type="Wavelet",
             seed=seed,
             z_override=z,
+            feature_cache_interval=args.cache_interval,
         )
         # NOTE: on the remote (axon-tunneled) TPU platform block_until_ready
         # does not actually synchronize; a tiny host readback does.
@@ -152,6 +157,8 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep / b
     if b > 1:
         label = label.replace("sec/image", f"sec/image (batch {b})")
+    if args.cache_interval:
+        label += f" [feature-cache interval {args.cache_interval}]"
 
     print(
         json.dumps(

@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="width-scaled tiny model (CI smoke)")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax profiler trace of the sample phase")
+    ap.add_argument("--feature_cache_interval", type=int, default=0,
+                    help="cross-step encoder/control feature cache for "
+                         "RestoreEDM (0=off/exact, N>1 recomputes every N "
+                         "steps — DeepCache-style opt-in speedup)")
     return ap
 
 
@@ -226,6 +230,8 @@ def main(argv=None):
             control_scale_start=args.spt_linear_s_stage2,
             z_override=zN,
         )
+        if args.feature_cache_interval and not args.use_tiled_sampling:
+            sample_kwargs["feature_cache_interval"] = args.feature_cache_interval
         if args.sampler:
             sample_kwargs["sampler_name"] = (
                 ("TiledRestoreDPMPP2M" if "DPMPP" in args.sampler else "TiledRestoreEDM")

@@ -77,3 +77,28 @@ class DiscreteDenoiser:
             t = c_noise.reshape(sigma.shape)
         out = network(x * c_in, t, cond, control_scale)
         return out.astype(jnp.float32) * c_out + x * c_skip
+
+    def call_cached(
+        self,
+        network_cached: Callable[..., Any],
+        x: jnp.ndarray,
+        sigma: jnp.ndarray,
+        cond: Any,
+        control_scale,
+        cache: Any,
+        recompute: jnp.ndarray,
+    ):
+        """Same preconditioning, but the network threads a cross-step
+        feature cache: `network_cached(x, t, cond, ctrl_s, cache, recompute)
+        -> (eps, cache)` (see SUPIREngine._network_cached)."""
+        sigma = jnp.asarray(sigma, jnp.float32)
+        idx = self.sigma_to_idx(sigma)
+        sigma_q = self.idx_to_sigma(idx)
+        s = _append_dims(sigma_q, x.ndim)
+        c_skip, c_out, c_in, c_noise = SCALINGS[self.scaling](s)
+        if self.quantize_c_noise:
+            t = idx.astype(jnp.float32)
+        else:
+            t = c_noise.reshape(sigma.shape)
+        out, cache = network_cached(x * c_in, t, cond, control_scale, cache, recompute)
+        return out.astype(jnp.float32) * c_out + x * c_skip, cache

@@ -193,6 +193,60 @@ def restore_edm_sample(
     return x
 
 
+def restore_edm_sample_cached(
+    denoise_cached,
+    cache0,
+    recompute: jnp.ndarray,
+    x: jnp.ndarray,
+    rng: jax.Array,
+    tables: StepTables,
+    x_center: Optional[jnp.ndarray] = None,
+    s_noise: float = 1.003,
+) -> jnp.ndarray:
+    """RestoreEDM with cross-step feature caching (opt-in approximation).
+
+    `denoise_cached(x, sigma_b, cfg_b, ctrl_s, cache, recompute_i)` returns
+    (denoised, cache); on steps where `recompute[i]` is False it reuses the
+    encoder/control features captured at the last recompute step
+    (DeepCache / encoder-propagation style — the UNet encoder, middle and
+    control pyramid change slowly across adjacent sigmas, so only the
+    decoder + adapters re-run). recompute[0] must be True. With
+    recompute all-True the output is bit-identical to
+    `restore_edm_sample` (tested)."""
+    b = x.shape[0]
+    n = tables.num_steps
+    keys = jax.random.split(rng, n)
+    xs = (
+        jnp.asarray(tables.sigma),
+        jnp.asarray(tables.sigma_hat),
+        jnp.asarray(tables.next_sigma),
+        jnp.asarray(tables.churn_std),
+        jnp.asarray(tables.cfg_scale),
+        jnp.asarray(tables.control_scale),
+        jnp.asarray(tables.restore_weight),
+        jnp.asarray(recompute),
+        keys,
+    )
+    xc = jnp.zeros_like(x) if x_center is None else x_center
+
+    def step(carry, scan_in):
+        x, cache = carry
+        (sigma, sigma_hat, next_sigma, churn_std, cfg_s, ctrl_s, rw, rec,
+         key) = scan_in
+        eps = jax.random.normal(key, x.shape, x.dtype) * s_noise
+        x = x + eps * churn_std
+        sig_b = jnp.full((b,), sigma_hat)
+        cfg_b = jnp.full((b,), cfg_s)
+        denoised, cache = denoise_cached(x, sig_b, cfg_b, ctrl_s, cache, rec)
+        denoised = denoised - (denoised - xc) * rw
+        d = (x - denoised) / sigma_hat
+        x = x + d * (next_sigma - sigma_hat)
+        return (x, cache), None
+
+    (x, _), _ = jax.lax.scan(step, (x, cache0), xs)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Euler / Heun EDM (sampling.py:86-136, 216-240)
 

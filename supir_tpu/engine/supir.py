@@ -321,6 +321,61 @@ class SUPIREngine:
             control_scale,
         )
 
+    def _network_cached(self, params, x, t, cond, control_scale, cache, recompute):
+        """Cross-step feature caching (opt-in approximation, no reference
+        analogue): on recompute steps run the control branch + UNet
+        encoder/middle and capture (control pyramid, encoder features);
+        on reuse steps only the decoder + adapters + time embedding run
+        against the cached features (DeepCache / encoder-propagation —
+        PAPERS.md items 2/3; adjacent-sigma encoder features drift slowly).
+        Exactness contract: recompute all-True is bit-identical to
+        `_network` (tested)."""
+
+        def full(cache):
+            control = self.control_net.apply(
+                {"params": params["control"]},
+                cond["control"], t, x, cond["crossattn"], cond["vector"],
+            )
+            out, feats = self.unet.apply(
+                {"params": params["unet"]},
+                x, t, cond["crossattn"], cond["vector"], control,
+                control_scale, return_features=True,
+            )
+            return out, (tuple(control), feats)
+
+        def reuse(cache):
+            control, feats = cache
+            out = self.unet.apply(
+                {"params": params["unet"]},
+                x, t, cond["crossattn"], cond["vector"], list(control),
+                control_scale, feature_cache=feats,
+            )
+            return out, cache
+
+        return jax.lax.cond(recompute, full, reuse, cache)
+
+    def _feature_cache_zeros(self, params, cond2, x_shape):
+        """Zeros pytree matching the cached (control pyramid, encoder
+        features) structure for a CFG-doubled batch of `x_shape`."""
+        b2 = 2 * x_shape[0]
+        xa = jax.ShapeDtypeStruct((b2,) + tuple(x_shape[1:]), jnp.float32)
+        ta = jax.ShapeDtypeStruct((b2,), jnp.float32)
+
+        def full_feats(xx, tt):
+            control = self.control_net.apply(
+                {"params": params["control"]},
+                cond2["control"], tt, xx, cond2["crossattn"], cond2["vector"],
+            )
+            _, feats = self.unet.apply(
+                {"params": params["unet"]},
+                xx, tt, cond2["crossattn"], cond2["vector"], control, 1.0,
+                return_features=True,
+            )
+            return (tuple(control), feats)
+
+        sh = jax.eval_shape(full_feats, xa, ta)
+        return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), sh)
+
     _seq_mesh = None
     _seq_axis = "seq"
 
@@ -345,7 +400,7 @@ class SUPIREngine:
 
     @functools.lru_cache(maxsize=16)
     def _sample_fn(self, sampler_name: str, num_steps: int, eta: float, s_noise: float,
-                   seq_mesh_key=None):
+                   seq_mesh_key=None, cache_interval: int = 0):
         sample = SAMPLERS[sampler_name]
         kwargs = {}
         if sampler_name in ("RestoreDPMPP2M",):
@@ -373,6 +428,34 @@ class SUPIREngine:
                     d_uc, d_c = jnp.split(den, 2, axis=0)
                     return cfg_combine(d_uc, d_c, cfg_b)
 
+                if cache_interval >= 1 and sampler_name == "RestoreEDM":
+                    # interval 1 = recompute every step (bit-identical to
+                    # the plain path; used to pin the wiring), N>1 = reuse
+                    # encoder/control features on N-1 of every N steps
+                    def denoise_cached(x, sigma_b, cfg_b, ctrl_s, cache, rec):
+                        x2 = jnp.concatenate([x, x], axis=0)
+                        s2 = jnp.concatenate([sigma_b, sigma_b], axis=0)
+                        den, cache = self.denoiser.call_cached(
+                            functools.partial(self._network_cached, params),
+                            x2, s2, cond2, ctrl_s, cache, rec,
+                        )
+                        d_uc, d_c = jnp.split(den, 2, axis=0)
+                        return cfg_combine(d_uc, d_c, cfg_b), cache
+
+                    cache0 = self._feature_cache_zeros(
+                        params, cond2, noised_z.shape
+                    )
+                    rec = jnp.asarray(
+                        np.arange(num_steps) % cache_interval == 0
+                    )
+                    from supir_tpu.diffusion.samplers import (
+                        restore_edm_sample_cached,
+                    )
+
+                    return restore_edm_sample_cached(
+                        denoise_cached, cache0, rec, noised_z, rng, tables,
+                        x_center=x_center, **kwargs,
+                    )
                 if sampler_name == "RestoreEDM":
                     return sample(denoise, noised_z, rng, tables,
                                   x_center=x_center, **kwargs)
@@ -603,8 +686,14 @@ class SUPIREngine:
         control_scale_start: float = 0.0,
         sampler_name: Optional[str] = None,
         z_override: Optional[jnp.ndarray] = None,
+        feature_cache_interval: int = 0,
     ) -> jnp.ndarray:
         """Full stage-2 pipeline on an LQ image batch [B,H,W,3] in [-1,1].
+
+        `feature_cache_interval` (RestoreEDM only): 0 disables; N>=1 runs
+        the cross-step feature cache, recomputing the UNet encoder/middle +
+        control pyramid every N steps and reusing them in between
+        (DeepCache-style opt-in speedup; N=1 is exact, N>1 approximates).
 
         `c`/`uc` must come from `prepare_condition` (their 'control' entry is
         recomputed here from x to guarantee consistency is the caller's
@@ -667,9 +756,14 @@ class SUPIREngine:
         noised_z = jax.random.normal(rng_noise, _z.shape, jnp.float32)
         noised_z = noised_z * np.sqrt(1.0 + float(sigma0) ** 2)
 
+        if feature_cache_interval and sampler_name != "RestoreEDM":
+            raise ValueError(
+                "feature_cache_interval is only supported with RestoreEDM"
+            )
         fn = self._sample_fn(
             sampler_name, num_steps, cfg.sampler.eta, s_noise,
             seq_mesh_key=id(self._seq_mesh) if self._seq_mesh is not None else None,
+            cache_interval=int(feature_cache_interval),
         )
         samples_z = fn(self.params, noised_z, c, uc, z_stage1, tables, rng_sample)
         samples = self.decode_first_stage(samples_z)

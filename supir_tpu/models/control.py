@@ -211,7 +211,14 @@ class LightGLVUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, context, y, control: Sequence[jnp.ndarray],
-                 control_scale=1.0, adapter_masks: Optional[jnp.ndarray] = None):
+                 control_scale=1.0, adapter_masks: Optional[jnp.ndarray] = None,
+                 feature_cache=None, return_features: bool = False):
+        """`feature_cache=(hs_tuple, h_mid)` skips the encoder+middle and
+        reuses those features (DeepCache/encoder-propagation approximation:
+        they drift slowly across adjacent sigmas — PAPERS.md items 2/3);
+        the decoder, adapters, and time embedding still run fresh.
+        `return_features=True` additionally returns the (hs, h) captured
+        this call so a sampler can carry them across steps."""
         cfg = self.cfg
         ctrl = self.ctrl
         x = x.astype(self.dtype)
@@ -220,10 +227,15 @@ class LightGLVUNet(nn.Module):
 
         emb = TimeEmbedding(cfg, dtype=self.dtype, name="time")(timesteps, y)
         emb = jax.lax.stop_gradient(emb)
-        hs, h = UNetEncoder(
-            cfg, attn_impl=self.attn_impl, remat=self.remat,
-            stop_grad_inputs=True, dtype=self.dtype, name="enc"
-        )(x, emb, context)
+        if feature_cache is None:
+            hs, h = UNetEncoder(
+                cfg, attn_impl=self.attn_impl, remat=self.remat,
+                stop_grad_inputs=True, dtype=self.dtype, name="enc"
+            )(x, emb, context)
+        else:
+            hs = [f.astype(self.dtype) for f in feature_cache[0]]
+            h = feature_cache[1].astype(self.dtype)
+        feats = (tuple(hs), h) if return_features else None
 
         specs = _build_adapter_specs(ctrl)
 
@@ -298,4 +310,5 @@ class LightGLVUNet(nn.Module):
 
         assert adapter_idx == -1 and control_idx == -1, (adapter_idx, control_idx)
         out = OutputHead(cfg.out_channels, dtype=self.dtype, name="out")(h)
-        return out.astype(jnp.float32)
+        out = out.astype(jnp.float32)
+        return (out, feats) if return_features else out

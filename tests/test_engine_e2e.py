@@ -92,3 +92,69 @@ def test_lightning_sampler_path(engine):
     )
     assert samples.shape == x.shape
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_feature_cache_interval_one_is_bit_identical(engine):
+    """The cached-sampler wiring with recompute-every-step must reproduce
+    the plain path EXACTLY (same churn noise stream, same network calls) —
+    pins that the cache plumbing itself changes nothing."""
+    x = jnp.clip(jax.random.normal(jax.random.PRNGKey(5), (1, 64, 64, 3)) * 0.3, -1, 1)
+    z = engine.encode_first_stage_with_denoise(x)
+    k = jax.random.PRNGKey(6)
+    c, uc = engine.prepare_condition(
+        z, _tokens(k), _tokens(k), _tokens(jax.random.fold_in(k, 1)),
+        _tokens(jax.random.fold_in(k, 1)),
+    )
+    kw = dict(num_steps=3, restoration_scale=4.0, cfg_scale=4.0,
+              s_churn=5.0, color_fix_type="None", seed=11, z_override=z)
+    base = engine.batchify_sample(x, c, uc, **kw)
+    cached = engine.batchify_sample(x, c, uc, feature_cache_interval=1, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+
+
+def test_feature_cache_interval_two_runs_and_approximates(engine):
+    """interval=2 reuses encoder/control features on odd steps: output must
+    stay finite, and differ from the exact path (it is an approximation,
+    not a no-op). The stock tiny engine's zero-init output head makes
+    eps==0 regardless of features, so perturb the params to give the
+    network a real x-dependence before comparing."""
+    from supir_tpu.engine.supir import SUPIREngine
+
+    leaves, treedef = jax.tree_util.tree_flatten(engine.params)
+    ks = jax.random.split(jax.random.PRNGKey(99), len(leaves))
+    leaves = [
+        a + 0.02 * jax.random.normal(kk, a.shape, a.dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a
+        for a, kk in zip(leaves, ks)
+    ]
+    eng2 = SUPIREngine(
+        engine.cfg, jax.tree_util.tree_unflatten(treedef, leaves),
+        cond_cfg=engine.cond_cfg,
+    )
+    x = jnp.clip(jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 3)) * 0.3, -1, 1)
+    z = eng2.encode_first_stage_with_denoise(x)
+    k = jax.random.PRNGKey(8)
+    c, uc = eng2.prepare_condition(
+        z, _tokens(k), _tokens(k), _tokens(jax.random.fold_in(k, 1)),
+        _tokens(jax.random.fold_in(k, 1)),
+    )
+    kw = dict(num_steps=4, restoration_scale=4.0, cfg_scale=4.0,
+              color_fix_type="None", seed=12, z_override=z)
+    base = eng2.batchify_sample(x, c, uc, **kw)
+    fast = eng2.batchify_sample(x, c, uc, feature_cache_interval=2, **kw)
+    a, b = np.asarray(base), np.asarray(fast)
+    assert np.isfinite(b).all()
+    assert b.shape == a.shape
+    assert not np.array_equal(a, b)
+    # the approximation must stay in the same ballpark as the exact output
+    assert np.abs(a - b).mean() < 0.5 * (np.abs(a).mean() + 1e-6) + 0.5
+
+
+def test_feature_cache_rejected_for_other_samplers(engine):
+    x = jnp.zeros((1, 64, 64, 3))
+    with pytest.raises(ValueError):
+        engine.batchify_sample(
+            x, {}, {}, num_steps=2, sampler_name="EulerEDM",
+            feature_cache_interval=2,
+        )

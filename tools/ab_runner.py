@@ -35,6 +35,8 @@ STAGES = [
     ("captioner_int4_native", [sys.executable, "bench.py", "--captioner",
                                "--int4_native"], 1200),
     ("headline", [sys.executable, "bench.py"], 1500),
+    ("headline_cache2", [sys.executable, "bench.py", "--cache_interval", "2"],
+     1500),
     ("vae8k", [sys.executable, "bench.py", "--vae8k"], 1200),
     ("batch2", [sys.executable, "bench.py", "--batch", "2"], 1500),
     ("full4k", [sys.executable, "bench.py", "--full4k"], 2400),
