@@ -143,6 +143,8 @@ def create_engine_from_args(args):
 
 
 def main(argv=None):
+    from supir_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     from supir_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

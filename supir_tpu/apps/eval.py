@@ -63,6 +63,8 @@ def evaluate_dirs(pred_dir: str, ref_dir: str, lpips_weights: str | None = None)
 
 
 def main(argv=None):
+    from supir_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--pred_dir", required=True)
     ap.add_argument("--ref_dir", required=True)

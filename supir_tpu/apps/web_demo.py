@@ -255,6 +255,8 @@ def serve_demo(demo: DemoServer, host="0.0.0.0", port=7860):
 
 
 def main(argv=None):
+    from supir_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     import argparse
 
     from supir_tpu.apps.cli import build_parser, create_engine_from_args

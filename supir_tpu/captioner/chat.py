@@ -9,6 +9,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from supir_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser("captioner chat")
     ap.add_argument("--image", required=True)
     ap.add_argument("--temperature", type=float, default=0.2)

@@ -25,14 +25,18 @@ def run_vqa(
     temperature: float = 0.2,
     top_p: float = 0.7,
     limit: Optional[int] = None,
+    num_chunks: int = 1,
+    chunk_idx: int = 0,
 ):
     """questions jsonl rows: {"question_id", "image", "text"}; answers rows
     mirror the reference's: {"question_id", "prompt", "text", "answer_id",
-    "model_id", "metadata"}."""
+    "model_id", "metadata"}. num_chunks/chunk_idx shard the question list
+    for multi-process eval (model_vqa.py:15-23)."""
     from PIL import Image
 
     with open(question_file) as f:
         questions = [json.loads(l) for l in f if l.strip()]
+    questions = _chunk(questions, num_chunks, chunk_idx)
     if limit:
         questions = questions[:limit]
 
@@ -59,6 +63,118 @@ def run_vqa(
                 + "\n"
             )
             n += 1
+    return n
+
+
+_MMBENCH_OPTIONS = ["A", "B", "C", "D"]
+
+
+def _is_none(value) -> bool:
+    """MMBench TSV cells: absent options come through as NaN/'nan'/'none'
+    (model_vqa_mmbench.py:33-42)."""
+    if value is None:
+        return True
+    if isinstance(value, float):
+        import math
+
+        return math.isnan(value)
+    if isinstance(value, str) and value.strip().lower() in ("", "nan", "none"):
+        return True
+    return False
+
+
+def _chunk(lst, num_chunks: int, chunk_idx: int):
+    """Contiguous ceil-sized chunks (model_vqa_mmbench.py:22-30) — the
+    reference's multi-process eval sharding."""
+    import math
+
+    size = math.ceil(len(lst) / num_chunks)
+    return lst[chunk_idx * size:(chunk_idx + 1) * size]
+
+
+def run_mmbench(
+    agent,
+    question_file: str,
+    answers_file: str,
+    all_rounds: bool = False,
+    single_pred_prompt: bool = False,
+    lang: str = "en",
+    temperature: float = 0.2,
+    top_p: float = 0.7,
+    conv_mode: str = "vicuna_v1",
+    num_chunks: int = 1,
+    chunk_idx: int = 0,
+    limit: Optional[int] = None,
+):
+    """MMBench circular evaluation (model_vqa_mmbench.py:54-150): TSV rows
+    carry index/question/hint/A-D options and a base64-encoded image. Per
+    round the options are rotated one position while the letters stay
+    A.. — `--all-rounds` answers len(options) rotations so the scorer can
+    demand consistency under option shuffling. Answer rows mirror the
+    reference's keys (question_id/round_id/prompt/text/options/option_char)."""
+    import base64
+    import csv
+    import io
+
+    from PIL import Image
+
+    with open(question_file, newline="") as f:
+        rows = list(csv.DictReader(f, delimiter="\t"))
+    rows = _chunk(rows, num_chunks, chunk_idx)
+    if limit:
+        rows = rows[:limit]
+
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+    n = 0
+    with open(answers_file, "w") as out:
+        for row in rows:
+            options = []
+            for opt in _MMBENCH_OPTIONS:
+                if _is_none(row.get(opt)):
+                    break
+                options.append(row[opt])
+            cur_option_char = _MMBENCH_OPTIONS[: len(options)]
+            num_rounds = len(options) if all_rounds else 1
+
+            for round_idx in range(num_rounds):
+                question = row["question"]
+                if not _is_none(row.get("hint")):
+                    question = row["hint"] + "\n" + question
+                for char, option in zip(_MMBENCH_OPTIONS[: len(options)],
+                                        options):
+                    question = question + "\n" + char + ". " + option
+                if single_pred_prompt:
+                    suffix = ("请直接回答选项字母。" if lang == "cn" else
+                              "Answer with the option's letter from the "
+                              "given choices directly.")
+                    question = question + "\n" + suffix
+
+                img = Image.open(
+                    io.BytesIO(base64.b64decode(row["image"]))
+                ).convert("RGB")
+                ans = agent.gen_image_caption(
+                    [np.asarray(img)], temperature=temperature, top_p=top_p,
+                    qs=question, conv_mode=conv_mode,
+                )[0]
+                out.write(
+                    json.dumps(
+                        {
+                            "question_id": row["index"],
+                            "round_id": round_idx,
+                            "prompt": question,
+                            "text": ans,
+                            "options": options,
+                            "option_char": cur_option_char,
+                            "answer_id": uuid.uuid4().hex[:12],
+                            "model_id": "supir-tpu-captioner",
+                            "metadata": {},
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+                options = options[1:] + options[:1]
+                cur_option_char = cur_option_char[1:] + cur_option_char[:1]
     return n
 
 
@@ -186,6 +302,8 @@ def score_main(cmd, argv):
 
 
 def main(argv=None):
+    from supir_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     import argparse
     import sys as _sys
 
@@ -195,10 +313,19 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--question-file", required=True)
-    ap.add_argument("--image-folder", required=True)
+    ap.add_argument("--image-folder", default="",
+                    help="unused in --mmbench mode (images are inline base64)")
     ap.add_argument("--answers-file", required=True)
     ap.add_argument("--temperature", type=float, default=0.2)
     ap.add_argument("--top_p", type=float, default=0.7)
+    ap.add_argument("--num-chunks", type=int, default=1)
+    ap.add_argument("--chunk-idx", type=int, default=0)
+    ap.add_argument("--mmbench", action="store_true",
+                    help="question-file is an MMBench TSV (base64 images, "
+                         "A-D options); circular option rotation")
+    ap.add_argument("--all-rounds", action="store_true")
+    ap.add_argument("--single-pred-prompt", action="store_true")
+    ap.add_argument("--lang", default="en")
     ap.add_argument("--tiny-random", action="store_true")
     args = ap.parse_args(argv)
 
@@ -208,10 +335,22 @@ def main(argv=None):
         agent = CaptionerAgent.create_random()
     else:
         agent = CaptionerAgent.create_default()
-    n = run_vqa(
-        agent, args.question_file, args.image_folder, args.answers_file,
-        args.temperature, args.top_p,
-    )
+    if args.mmbench:
+        n = run_mmbench(
+            agent, args.question_file, args.answers_file,
+            all_rounds=args.all_rounds,
+            single_pred_prompt=args.single_pred_prompt, lang=args.lang,
+            temperature=args.temperature, top_p=args.top_p,
+            num_chunks=args.num_chunks, chunk_idx=args.chunk_idx,
+        )
+    else:
+        if not args.image_folder:
+            ap.error("--image-folder is required without --mmbench")
+        n = run_vqa(
+            agent, args.question_file, args.image_folder, args.answers_file,
+            args.temperature, args.top_p,
+            num_chunks=args.num_chunks, chunk_idx=args.chunk_idx,
+        )
     print(f"answered {n} questions -> {args.answers_file}")
 
 

@@ -135,6 +135,8 @@ def consolidate(src_path: str, dst_path: str):
 
 
 def main(argv=None):
+    from supir_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser("llava weight tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("apply-delta")

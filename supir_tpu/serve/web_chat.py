@@ -217,6 +217,8 @@ def serve_web_chat(controller_addr: str, host: str = "0.0.0.0",
 
 
 def main(argv=None):
+    from supir_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     import argparse
 
     ap = argparse.ArgumentParser("captioner web chat")

@@ -168,6 +168,8 @@ def caption_work_fn(captioner):
 
 
 def main(argv=None):
+    from supir_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     """Launch a restoration worker and register with the controller."""
     import argparse
     import threading
