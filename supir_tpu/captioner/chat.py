@@ -15,6 +15,9 @@ def main(argv=None):
     ap.add_argument("--image", required=True)
     ap.add_argument("--temperature", type=float, default=0.2)
     ap.add_argument("--top_p", type=float, default=0.7)
+    ap.add_argument("--query", default=None,
+                    help="one-shot mode (reference llava/eval/run_llava.py): "
+                         "answer this single question and exit")
     ap.add_argument("--tiny-random", action="store_true",
                     help="random tiny model (no weights; for smoke runs)")
     ap.add_argument("--weights", default=None)
@@ -30,6 +33,12 @@ def main(argv=None):
         agent = CaptionerAgent.create_default(args.weights)
 
     img = np.asarray(Image.open(args.image).convert("RGB"))
+    if args.query is not None:
+        print(agent.gen_image_caption(
+            [img], temperature=args.temperature, top_p=args.top_p,
+            qs=args.query,
+        )[0])
+        return
     print("image loaded; empty line to exit")
     while True:
         try:

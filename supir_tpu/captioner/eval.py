@@ -178,6 +178,46 @@ def run_mmbench(
     return n
 
 
+def run_qa(
+    agent,
+    question_file: str,
+    answers_file: str,
+    temperature: float = 0.2,
+    top_p: float = 0.7,
+    num_chunks: int = 1,
+    chunk_idx: int = 0,
+    limit: Optional[int] = None,
+):
+    """Text-only QA runner (model_qa.py:33-80): questions jsonl rows
+    {"question_id", "text"} answered without an image through the
+    conversation template; answers rows mirror the reference's."""
+    with open(question_file) as f:
+        questions = [json.loads(l) for l in f if l.strip()]
+    questions = _chunk(questions, num_chunks, chunk_idx)
+    if limit:
+        questions = questions[:limit]
+
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+    n = 0
+    with open(answers_file, "w") as out:
+        for q in questions:
+            ans = agent.chat(q["text"], temperature=temperature, top_p=top_p)
+            out.write(
+                json.dumps(
+                    {
+                        "question_id": q.get("question_id", n),
+                        "text": ans,
+                        "answer_id": uuid.uuid4().hex[:12],
+                        "model_id": "supir-tpu-captioner",
+                        "metadata": {},
+                    }
+                )
+                + "\n"
+            )
+            n += 1
+    return n
+
+
 def score_main(cmd, argv):
     import argparse
 
@@ -323,6 +363,9 @@ def main(argv=None):
     ap.add_argument("--mmbench", action="store_true",
                     help="question-file is an MMBench TSV (base64 images, "
                          "A-D options); circular option rotation")
+    ap.add_argument("--text-only", action="store_true",
+                    help="no images: answer {question_id, text} jsonl rows "
+                         "through the chat path (model_qa.py)")
     ap.add_argument("--all-rounds", action="store_true")
     ap.add_argument("--single-pred-prompt", action="store_true")
     ap.add_argument("--lang", default="en")
@@ -335,7 +378,13 @@ def main(argv=None):
         agent = CaptionerAgent.create_random()
     else:
         agent = CaptionerAgent.create_default()
-    if args.mmbench:
+    if args.text_only:
+        n = run_qa(
+            agent, args.question_file, args.answers_file,
+            temperature=args.temperature, top_p=args.top_p,
+            num_chunks=args.num_chunks, chunk_idx=args.chunk_idx,
+        )
+    elif args.mmbench:
         n = run_mmbench(
             agent, args.question_file, args.answers_file,
             all_rounds=args.all_rounds,

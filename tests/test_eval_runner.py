@@ -76,6 +76,21 @@ def test_run_mmbench_circular(tmp_path):
     assert not r9[0]["prompt"].startswith("nan")  # hint 'nan' dropped
 
 
+def test_run_qa_text_only(tmp_path):
+    """model_qa.py parity: text-only questions answered via the chat path."""
+    from supir_tpu.captioner.eval import run_qa
+
+    qfile = tmp_path / "q.jsonl"
+    with open(qfile, "w") as f:
+        f.write(json.dumps({"question_id": 3, "text": "Why?"}) + "\n")
+    afile = tmp_path / "a.jsonl"
+    agent = CaptionerAgent.create_random()
+    n = run_qa(agent, str(qfile), str(afile), temperature=0.0)
+    assert n == 1
+    row = json.loads(open(afile).readline())
+    assert row["question_id"] == 3 and isinstance(row["text"], str)
+
+
 def test_flops_estimator_scales():
     cfg = SUPIRConfig()
     f64 = unet_eval_flops(cfg.unet, 64)
