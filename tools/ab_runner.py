@@ -25,29 +25,45 @@ PROBE = (
     "import os;os._exit(0)"
 )
 
+# (name, argv, timeout_s, extra_env) — new-information stages first so a
+# briefly-healed tunnel yields the most useful numbers before re-wedging.
 STAGES = [
-    ("int4_native_probe", [sys.executable, "tools/int4_native_probe.py"], 600),
-    ("step_profile", [sys.executable, "tools/profile_step.py", "--iters", "10",
-                      "--skip-vae"], 1500),
-    ("captioner_int4", [sys.executable, "bench.py", "--captioner"], 1200),
-    ("captioner_int4_kv8", [sys.executable, "bench.py", "--captioner",
-                            "--kv_int8"], 1200),
-    ("captioner_int4_native", [sys.executable, "bench.py", "--captioner",
-                               "--int4_native"], 1200),
-    ("headline", [sys.executable, "bench.py"], 1500),
+    ("int4_native_probe", [sys.executable, "tools/int4_native_probe.py"], 600,
+     None),
     ("headline_cache2", [sys.executable, "bench.py", "--cache_interval", "2"],
-     1500),
-    ("vae8k", [sys.executable, "bench.py", "--vae8k"], 1200),
-    ("batch2", [sys.executable, "bench.py", "--batch", "2"], 1500),
-    ("full4k", [sys.executable, "bench.py", "--full4k"], 2400),
+     1500, None),
+    ("headline_cache4", [sys.executable, "bench.py", "--cache_interval", "4"],
+     1500, None),
+    ("captioner_int4_native", [sys.executable, "bench.py", "--captioner",
+                               "--int4_native"], 1200, None),
+    ("headline", [sys.executable, "bench.py"], 1500, None),
+    ("step_profile", [sys.executable, "tools/profile_step.py", "--iters", "10",
+                      "--skip-vae"], 1500, None),
+    ("step_flash_b1024_1024", [sys.executable, "tools/profile_step.py",
+                               "--iters", "10", "--skip-vae"], 1500,
+     {"SUPIR_FLASH_BQ": "1024", "SUPIR_FLASH_BKV": "1024"}),
+    ("step_flash_b256_4096", [sys.executable, "tools/profile_step.py",
+                              "--iters", "10", "--skip-vae"], 1500,
+     {"SUPIR_FLASH_BQ": "256", "SUPIR_FLASH_BKV": "4096"}),
+    ("captioner_int4", [sys.executable, "bench.py", "--captioner"], 1200,
+     None),
+    ("captioner_int4_kv8", [sys.executable, "bench.py", "--captioner",
+                            "--kv_int8"], 1200, None),
+    ("vae8k", [sys.executable, "bench.py", "--vae8k"], 1200, None),
+    ("batch2", [sys.executable, "bench.py", "--batch", "2"], 1500, None),
+    ("full4k", [sys.executable, "bench.py", "--full4k"], 2400, None),
 ]
 
 
-def run(cmd, timeout):
+def run(cmd, timeout, extra_env=None):
     t0 = time.time()
+    env = None
+    if extra_env:
+        env = dict(os.environ, **extra_env)
     try:
         p = subprocess.run(
-            cmd, cwd=ROOT, timeout=timeout, capture_output=True, text=True
+            cmd, cwd=ROOT, timeout=timeout, capture_output=True, text=True,
+            env=env,
         )
         tail = (p.stdout + p.stderr)[-4000:]
         return {"rc": p.returncode, "s": round(time.time() - t0, 1), "tail": tail}
@@ -71,11 +87,11 @@ def main():
         if not alive:
             time.sleep(args.probe_every)
             continue
-        for name, cmd, to in STAGES:
+        for name, cmd, to, extra_env in STAGES:
             if name in done:
                 continue
             print(f"=== {name}: {' '.join(cmd)}", flush=True)
-            r = run(cmd, to)
+            r = run(cmd, to, extra_env)
             rec = {"stage": name, **r, "ts": time.time()}
             with open(args.log, "a") as f:
                 f.write(json.dumps(rec) + "\n")
