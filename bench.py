@@ -26,6 +26,42 @@ import numpy as np
 
 TARGET_SECONDS = 10.0
 
+_PROBE = (
+    "import jax,jax.numpy as jnp;x=jnp.ones((256,256));"
+    "print('probe-ok',float((x@x).sum()),flush=True);"
+    "import os;os._exit(0)"
+)
+
+
+def _wait_for_device(budget_s: float, probe_timeout: float = 90.0) -> bool:
+    """The tunneled TPU backend can wedge for minutes-to-an-hour; an
+    in-process jax.devices() on a wedged tunnel hangs FOREVER (no timeout,
+    no exception). Probe via a killable subprocess and wait out the wedge
+    within `budget_s`, so an unattended bench run either measures or exits
+    nonzero — it never hangs the caller."""
+    import os
+    import subprocess
+
+    deadline = time.time() + budget_s
+    first = True
+    while True:
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", _PROBE], timeout=probe_timeout,
+                capture_output=True, text=True,
+            )
+            if p.returncode == 0 and "probe-ok" in p.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return False
+        if first:
+            print("device probe failed; waiting for the tunnel to heal...",
+                  file=sys.stderr, flush=True)
+            first = False
+        time.sleep(min(120.0, max(1.0, deadline - time.time())))
+
 
 def _cast_bf16(tree):
     return jax.tree_util.tree_map(
@@ -78,7 +114,22 @@ def main():
                     help="images restored per program (throughput mode: "
                          "amortizes per-step fixed costs; sec/image = "
                          "wall/batch)")
+    ap.add_argument("--probe_wait", type=float, default=1500.0,
+                    help="seconds to wait for a wedged remote-TPU tunnel "
+                         "before giving up (0 = no probe); prevents an "
+                         "unattended run from hanging forever")
     args = ap.parse_args()
+
+    import os as _os
+
+    from supir_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    if args.probe_wait and _os.environ.get("JAX_PLATFORMS") != "cpu":
+        if not _wait_for_device(args.probe_wait):
+            print("FATAL: device backend unreachable after "
+                  f"{args.probe_wait:.0f}s of probing", file=sys.stderr)
+            return 2
 
     if args.vae4k:
         return bench_vae(4096, ref_enc=50.0, ref_dec=200.0)
@@ -585,4 +636,4 @@ def bench_vae(size, ref_enc, ref_dec):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

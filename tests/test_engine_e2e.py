@@ -94,6 +94,7 @@ def test_lightning_sampler_path(engine):
     assert np.isfinite(np.asarray(samples)).all()
 
 
+@pytest.mark.heavy
 def test_feature_cache_interval_one_is_bit_identical(engine):
     """The cached-sampler wiring with recompute-every-step must reproduce
     the plain path EXACTLY (same churn noise stream, same network calls) —
@@ -112,6 +113,7 @@ def test_feature_cache_interval_one_is_bit_identical(engine):
     np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
 
 
+@pytest.mark.heavy
 def test_feature_cache_interval_two_runs_and_approximates(engine):
     """interval=2 reuses encoder/control features on odd steps: output must
     stay finite, and differ from the exact path (it is an approximation,
