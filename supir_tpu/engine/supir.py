@@ -99,6 +99,18 @@ class SUPIREngine:
         return jax.jit(f)
 
     @functools.cached_property
+    def _encode_sample_jit(self):
+        def f(params, x, noise):
+            moments = self.vae.apply(
+                {"params": params["vae"]}, x, False, method=self.vae.moments
+            )
+            p = DiagonalGaussian(moments)
+            z = p.mean + p.std * noise.astype(p.mean.dtype)
+            return (z * self.cfg.scale_factor).astype(jnp.float32)
+
+        return jax.jit(f)
+
+    @functools.cached_property
     def _decode_jit(self):
         def f(params, z):
             out = self.vae.apply(
@@ -176,10 +188,27 @@ class SUPIREngine:
             return f(self.params, x)
         return self._encode_denoise_jit(self.params, x)
 
-    def encode_first_stage(self, x):
+    def encode_first_stage(self, x, noise=None, rng=None):
+        """HQ image -> latent. The reference's first stage is
+        `AutoencoderKLInferenceWrapper.encode`, which SAMPLES the posterior
+        (autoencoder.py:319-321) — so the x_center restoration-guidance
+        target is a sampled latent, not the mode. Pass `rng` (or an explicit
+        unit-normal `noise` of latent shape, for parity harnesses) to match;
+        with neither, returns the deterministic mode. The tiled-VAE path
+        always returns the mode (tile fns expose no posterior std)."""
         if self._tile_vae:
             _, f, _ = self._tiled_vae_fns(*self._tile_vae, mesh_key=self._mesh_key())
             return f(self.params, x)
+        if rng is not None and noise is None:
+            fdown = self.cfg.vae.downscale_factor
+            noise = jax.random.normal(
+                rng,
+                (x.shape[0], x.shape[1] // fdown, x.shape[2] // fdown,
+                 self.cfg.vae.z_channels),
+                jnp.float32,
+            )
+        if noise is not None:
+            return self._encode_sample_jit(self.params, x, noise)
         return self._encode_jit(self.params, x)
 
     def decode_first_stage(self, z):
@@ -604,7 +633,11 @@ class SUPIREngine:
 
         _z = z_override if z_override is not None else self.encode_first_stage_with_denoise(x)
         x_stage1 = self.decode_first_stage(_z)
-        z_stage1 = self.encode_first_stage(x_stage1)
+        # x_center is a SAMPLED latent in the reference (see
+        # encode_first_stage docstring); tiled VAE mode falls back to mode
+        z_stage1 = self.encode_first_stage(
+            x_stage1, rng=jax.random.fold_in(rng, 2)
+        )
 
         noised_z = jax.random.normal(rng_noise, _z.shape, jnp.float32)
         noised_z = noised_z * np.sqrt(1.0 + float(sigmas[0]) ** 2)
@@ -686,6 +719,8 @@ class SUPIREngine:
         control_scale_start: float = 0.0,
         sampler_name: Optional[str] = None,
         z_override: Optional[jnp.ndarray] = None,
+        noise_override: Optional[jnp.ndarray] = None,
+        center_noise_override: Optional[jnp.ndarray] = None,
         feature_cache_interval: int = 0,
     ) -> jnp.ndarray:
         """Full stage-2 pipeline on an LQ image batch [B,H,W,3] in [-1,1].
@@ -751,9 +786,24 @@ class SUPIREngine:
 
         _z = z_override if z_override is not None else self.encode_first_stage_with_denoise(x)
         x_stage1 = self.decode_first_stage(_z)
-        z_stage1 = self.encode_first_stage(x_stage1)
+        # x_center is a SAMPLED latent in the reference
+        # (AutoencoderKLInferenceWrapper.encode, autoencoder.py:319-321);
+        # `center_noise_override` injects the posterior's unit noise for
+        # parity harnesses, `rng` samples it from the seed otherwise
+        z_stage1 = self.encode_first_stage(
+            x_stage1,
+            noise=center_noise_override,
+            rng=None if center_noise_override is not None
+            else jax.random.fold_in(rng, 2),
+        )
 
-        noised_z = jax.random.normal(rng_noise, _z.shape, jnp.float32)
+        # `noise_override` injects the unit-variance init noise (parity
+        # harnesses / reproducible runs); the sqrt(1+sigma0^2) scale is the
+        # reference's prepare_sampling_loop contract (sampling.py:51)
+        if noise_override is not None:
+            noised_z = jnp.asarray(noise_override, jnp.float32)
+        else:
+            noised_z = jax.random.normal(rng_noise, _z.shape, jnp.float32)
         noised_z = noised_z * np.sqrt(1.0 + float(sigma0) ** 2)
 
         if feature_cache_interval and sampler_name != "RestoreEDM":

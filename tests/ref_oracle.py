@@ -62,6 +62,7 @@ def load_ref():
 
     install_stubs()
     _fix_kdiff_stub()
+    _fix_engine_stubs()
     if REF not in sys.path:
         sys.path.insert(0, REF)
     import SUPIR.modules.SUPIR_v0 as supir_v0
@@ -74,6 +75,103 @@ def load_ref():
         sampling=sampling,
     )
     return _loaded
+
+
+def _fix_engine_stubs():
+    """Extra stub surface needed only by the ENGINE import chain
+    (`SUPIR/models/SUPIR_model.py` -> colorfix -> torchvision transforms,
+    tilevae -> diffusers): the module-level goldens never touch these."""
+    import types
+
+    sys.modules["torchvision.transforms"].ToPILImage = object
+    for name in ("diffusers", "diffusers.utils", "diffusers.utils.import_utils"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["diffusers.utils.import_utils"].is_xformers_available = (
+        lambda: False
+    )
+
+
+class RefCfg(dict):
+    """instantiate_from_config wants `cfg["target"]`/`cfg.get("params")`;
+    SUPIRModel.batchify_sample mutates `sampler_config.params.num_steps`
+    (SUPIR_model.py:101-111) — a dict with attribute access serves both."""
+
+    def __getattr__(self, k):
+        return self[k]
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def ref_cfg(target: str, **params) -> RefCfg:
+    return RefCfg(target=target, params=RefCfg(**params))
+
+
+def build_tiny_supir_model(num_steps=3):
+    """The reference's OWN `SUPIRModel` (SUPIR_model.py:12-41) at tiny width:
+    full DiffusionEngine graph (ControlWrapper'd LightGLVUNet + GLVControl,
+    DiscreteDenoiserWithControl, AutoencoderKLInferenceWrapper first stage
+    with the deep-copied denoise_encoder, RestoreEDMSampler + LinearCFG),
+    randomized zero-init params."""
+    ref = load_ref()
+    import torch
+
+    sys.path.insert(0, REF)
+    from SUPIR.models.SUPIR_model import SUPIRModel
+
+    disc = "sgm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization"
+    ddconfig = dict(
+        attn_type="vanilla", double_z=True, z_channels=4, resolution=64,
+        in_channels=3, out_ch=3, ch=32, ch_mult=[1, 2, 4, 4],
+        num_res_blocks=2, attn_resolutions=[], dropout=0.0,
+    )
+    torch.manual_seed(5)
+    with scaled_adapters(ref["supir_v0"], TINY_UNET_KW["model_channels"] / 320):
+        m = SUPIRModel(
+            control_stage_config=ref_cfg(
+                "SUPIR.modules.SUPIR_v0.GLVControl", input_upscale=1,
+                **TINY_UNET_KW,
+            ),
+            ae_dtype="fp32",
+            diffusion_dtype="fp32",
+            network_config=ref_cfg(
+                "SUPIR.modules.SUPIR_v0.LightGLVUNet", mode="XL-base",
+                project_type="ZeroSFT", project_channel_scale=2,
+                **TINY_UNET_KW,
+            ),
+            denoiser_config=ref_cfg(
+                "sgm.modules.diffusionmodules.denoiser.DiscreteDenoiserWithControl",
+                num_idx=1000,
+                weighting_config=ref_cfg(
+                    "sgm.modules.diffusionmodules.denoiser_weighting.EpsWeighting"
+                ),
+                scaling_config=ref_cfg(
+                    "sgm.modules.diffusionmodules.denoiser_scaling.EpsScaling"
+                ),
+                discretization_config=ref_cfg(disc),
+            ),
+            first_stage_config=ref_cfg(
+                "sgm.models.autoencoder.AutoencoderKLInferenceWrapper",
+                embed_dim=4, monitor="val/rec_loss", ddconfig=ddconfig,
+                lossconfig=ref_cfg("torch.nn.Identity"),
+            ),
+            sampler_config=ref_cfg(
+                "sgm.modules.diffusionmodules.sampling.RestoreEDMSampler",
+                num_steps=num_steps, restore_cfg=4.0, s_churn=0.0,
+                s_noise=1.003, device="cpu",
+                discretization_config=ref_cfg(disc),
+                guider_config=ref_cfg(
+                    "sgm.modules.diffusionmodules.guiders.LinearCFG",
+                    scale=7.5, scale_min=4.0,
+                ),
+            ),
+            network_wrapper="sgm.modules.diffusionmodules.wrappers.ControlWrapper",
+            scale_factor=0.13025,
+            disable_first_stage_autocast=True,
+        )
+    m.eval()
+    randomize_zero_params(m)
+    return m
 
 
 def _fix_kdiff_stub():
