@@ -114,6 +114,15 @@ def main():
                     help="images restored per program (throughput mode: "
                          "amortizes per-step fixed costs; sec/image = "
                          "wall/batch)")
+    ap.add_argument("--e2e", action="store_true",
+                    help="TRUE per-image wall incl. captioning (reference "
+                         "test.py:81-105 loop): stage1 @512 + LLaVA-13B int4 "
+                         "caption + 50-step sample + decode + colorfix")
+    ap.add_argument("--caption_tokens", type=int, default=128,
+                    help="caption decode budget for --e2e (the reference "
+                         "stops at stop_str, typically 100-200 tokens of a "
+                         "512 max; random weights never emit a stop, so a "
+                         "representative fixed budget is timed instead)")
     ap.add_argument("--probe_wait", type=float, default=1500.0,
                     help="seconds to wait for a wedged remote-TPU tunnel "
                          "before giving up (0 = no probe); prevents an "
@@ -137,6 +146,8 @@ def main():
         return bench_vae(8192, ref_enc=200.0, ref_dec=900.0)
     if args.full4k:
         return bench_full4k(args)
+    if args.e2e:
+        return bench_e2e(args)
     if args.captioner:
         return bench_captioner(args)
     if args.mesh:
@@ -416,6 +427,101 @@ def bench_captioner(args):
         print(f"decode-rate probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
 
+def bench_e2e(args):
+    """TRUE per-image wall clock, the reference's whole per-image loop
+    (test.py:81-105): stage-1 denoise at 512 px -> LLaVA caption ->
+    full-res 50-step sample -> decode -> wavelet fix, all on ONE chip
+    (the reference needs two GPUs for this). Captioner is 13B int4 with
+    fused GEMVs (`--bits`), caption budget `--caption_tokens` (the
+    reference stops at stop_str — typically 100-200 of max 512 tokens;
+    random weights never emit a stop, so a fixed representative budget is
+    timed; scale linearly for other lengths)."""
+    from supir_tpu.config import SUPIRConfig
+    from supir_tpu.engine.factory import create_engine, tiny_test_config
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = SUPIRConfig(ae_dtype="bf16", diffusion_dtype="bf16")
+        size, steps = args.size, args.steps
+        cap_tokens = args.caption_tokens
+    else:
+        cfg, _ = tiny_test_config()
+        size, steps = 128, min(args.steps, 2)
+        cap_tokens = 8
+
+    engine = create_engine(
+        cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
+        param_dtype=jnp.bfloat16 if on_tpu else None,
+    )
+    agent, cap_tokens, model_name = make_captioner_agent(
+        args.bits, new_tokens=cap_tokens,
+        kv_int8=getattr(args, "kv_int8", False),
+        int4_native=getattr(args, "int4_native", False),
+    )
+
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.uniform(rng, (1, size, size, 3), jnp.float32, -1.0, 1.0)
+    s1 = min(512, size)
+    x_512 = jax.image.resize(x, (1, s1, s1, 3), "bilinear")
+    lat = size // cfg.vae.downscale_factor
+    c = {
+        "crossattn": jax.random.normal(rng, (1, 77, cfg.unet.context_dim), jnp.float32),
+        "vector": jax.random.normal(rng, (1, cfg.unet.adm_in_channels), jnp.float32),
+    }
+    uc = dict(c)
+    phases = {}
+
+    def run(seed, record=False):
+        # stage 1 at 512 px: the caption input (reference test.py:85-87)
+        t0 = time.perf_counter()
+        stage1 = engine.batchify_denoise(x_512)
+        img_u8 = np.asarray(
+            (jnp.clip(stage1[0], -1, 1) + 1.0) * 127.5
+        ).astype(np.uint8)
+        if record:
+            phases["stage1@512"] = time.perf_counter() - t0
+        # caption (reference test.py:92, cuda:1 hop -> same chip here)
+        t0 = time.perf_counter()
+        agent.gen_image_caption([img_u8], temperature=0.0)
+        if record:
+            phases[f"caption({cap_tokens}tok)"] = time.perf_counter() - t0
+        # full-res restore (batchify_sample does its own stage-1 encode,
+        # exactly like the reference's batchify_sample on the full image)
+        t0 = time.perf_counter()
+        z = engine.encode_first_stage_with_denoise(x)
+        cc = dict(c, control=z)
+        uu = dict(uc, control=z)
+        out = engine.batchify_sample(
+            x, cc, uu, num_steps=steps, restoration_scale=4.0, cfg_scale=4.0,
+            use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,
+            color_fix_type="Wavelet", seed=seed, z_override=z,
+            feature_cache_interval=args.cache_interval,
+        )
+        jax.device_get(out[0, :1, :1, 0])
+        if record:
+            phases[f"sample({steps})+decode+fix"] = time.perf_counter() - t0
+        return out
+
+    run(0)  # compile everything
+    t0 = time.perf_counter()
+    run(1, record=True)
+    dt = time.perf_counter() - t0
+    label = (
+        f"sec/image {size}px E2E incl. captioner (stage1@{s1} + llava "
+        f"{model_name} int{args.bits} {cap_tokens}-token caption + "
+        f"{steps}-step sample + decode + colorfix, 1 "
+        f"{jax.default_backend()} chip)"
+    )
+    print(json.dumps({
+        "metric": label,
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(TARGET_SECONDS / dt, 3),
+    }))
+    print("phase breakdown: " + ", ".join(
+        f"{k} {v:.2f}s" for k, v in phases.items()), file=sys.stderr)
+
+
 def bench_full4k(args):
     """Single-chip end-to-end 4K restoration: tiled-VAE stage-1 encode +
     decode/re-encode, tiled diffusion sampler (latent tile 128 / stride 64
@@ -458,7 +564,7 @@ def bench_full4k(args):
     }
     uc = dict(c)
 
-    def run(seed):
+    def run(seed, cache_interval=0):
         z = engine.encode_first_stage_with_denoise(x)
         cc = dict(c, control=z)
         uu = dict(uc, control=z)
@@ -468,13 +574,15 @@ def bench_full4k(args):
             use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,
             color_fix_type="Wavelet", seed=seed, z_override=z,
             tile_chunk=args.tile_chunk, steps_per_call=args.steps_per_call,
+            feature_cache_interval=cache_interval,
         )
         jax.device_get(out[0, :1, :1, 0])
         return out
 
-    run(0)  # compile
+    ci = args.cache_interval
+    run(0, ci)  # compile
     t0 = time.perf_counter()
-    run(1)
+    out_c = run(1, ci)
     dt = time.perf_counter() - t0
     label = (
         f"sec/image {size}px {steps} EDM steps FULL tiled pipeline "
@@ -483,12 +591,24 @@ def bench_full4k(args):
         f"colorfix; text towers/captioner excluded; baseline = reference "
         f"4K tiled-VAE time alone)"
     )
+    if ci:
+        label += f" [tiled feature-cache interval {ci}]"
     print(json.dumps({
         "metric": label,
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(ref_vae_only / dt, 3),
     }))
+    if ci and ci > 1:
+        # quantified drift vs the exact path (same seed): the fidelity
+        # number the cache's speedup must be weighed against
+        exact = np.asarray(run(1, 0), np.float32)
+        fast = np.asarray(out_c, np.float32)
+        mse = float(np.mean((exact - fast) ** 2))  # images in [-1, 1]
+        psnr = 99.0 if mse == 0 else 10 * np.log10(4.0 / mse)
+        print(f"cache drift vs exact (interval {ci}, same seed): "
+              f"PSNR {psnr:.2f} dB, max|d| {np.abs(exact-fast).max():.4f}",
+              file=sys.stderr)
 
 
 def bench_sharded(args):

@@ -116,7 +116,9 @@ class MMProjector:
             @nn.compact
             def __call__(self, x):
                 x = Dense(out_dim, dtype=dtype, name="fc1")(x)
-                x = nn.gelu(x)
+                # torch nn.GELU() is the EXACT erf gelu (flax defaults to the
+                # tanh approximation — a real drift the torch golden caught)
+                x = nn.gelu(x, approximate=False)
                 return Dense(out_dim, dtype=dtype, name="fc2")(x)
 
         return _Proj()
@@ -283,11 +285,14 @@ class CaptionerAgent:
 
     # ------------------------------------------------------------ generate
 
-    def _decode_tokens(
+    def _decode_tokens_iter(
         self, first_tok, plen: int, caches, seed: int,
         temperature: float, top_p: float, eos_id: int, stopper=None,
     ):
-        """Chunked autoregressive decode -> ([B, n] tokens, stop_at[B]).
+        """Chunked autoregressive decode, yielding after every device
+        program: ([B, n] tokens-so-far, stop_at[B]) — the streaming unit the
+        serving plane forwards (reference model_worker.py:123-193 yields
+        partial generations the same way).
 
         Runs `_DECODE_CHUNK` steps per device program and checks EOS plus
         keyword stop strings (KeywordStopper — the reference's
@@ -321,6 +326,7 @@ class CaptionerAgent:
         check_keywords(0)
         tok = first_tok
         n = 1
+        yield np.stack(outs, axis=1), np.minimum(stop_at, n)
         while n < cfg.max_new_tokens and not done.all():
             pos0 = jnp.full((b,), plen + n - 1, jnp.int32)
             rng, sub = jax.random.split(rng)
@@ -339,7 +345,18 @@ class CaptionerAgent:
                 if done.all():
                     break
             check_keywords(prev_n)
-        return np.stack(outs, axis=1), np.minimum(stop_at, n)
+            yield np.stack(outs, axis=1), np.minimum(stop_at, n)
+
+    def _decode_tokens(
+        self, first_tok, plen: int, caches, seed: int,
+        temperature: float, top_p: float, eos_id: int, stopper=None,
+    ):
+        """Chunked decode, fully drained -> ([B, n] tokens, stop_at[B])."""
+        for seqs, stop_at in self._decode_tokens_iter(
+            first_tok, plen, caches, seed, temperature, top_p, eos_id, stopper
+        ):
+            pass
+        return seqs, stop_at
 
     def _finalize_row(self, row, stop_at: int, eos_id: int,
                       stop_str: Optional[str]) -> str:
@@ -452,17 +469,8 @@ class CaptionerAgent:
         pixels = preprocess_images(images_uint8, self.cfg.vision.image_size)
         return self._encode_jit(self.params, jnp.asarray(pixels))
 
-    def gen_image_caption(
-        self,
-        images,
-        temperature: float = 0.2,
-        top_p: float = 0.7,
-        qs: Optional[str] = None,
-        seed: int = 0,
-        eos_id: int = 2,
-        conv_mode: str = "vicuna_v1",
-    ) -> List[str]:
-        """uint8 HWC images -> captions (llava_agent.py:65-103)."""
+    def _prefill_images(self, images, qs: Optional[str], conv_mode: str):
+        """Prompt build + image splice + prefill -> decode-ready state."""
         from supir_tpu.captioner.conversation import build_prompt
 
         cfg = self.cfg
@@ -487,12 +495,10 @@ class CaptionerAgent:
         caches = self.llama.init_cache(b, cfg.cache_len, dtype=self._kv_dtype)
         positions = jnp.broadcast_to(jnp.arange(plen), (b, plen))
         logits, caches = prefill(self.params, embeds, positions, caches)
-
         tok = jnp.argmax(logits, axis=-1)
-        seqs, stop_at = self._decode_tokens(
-            tok, plen, caches, seed, temperature, top_p, eos_id, stopper
-        )
+        return tok, plen, caches, stopper, stop_str
 
+    def _texts_from(self, seqs, stop_at, eos_id, stop_str) -> List[str]:
         # reference output cleanup (llava_agent.py:96-101): strip stop_str,
         # flatten newlines into spaces
         return [
@@ -500,6 +506,48 @@ class CaptionerAgent:
             .replace("\n", " ").replace("\r", " ")
             for bi, row in enumerate(seqs)
         ]
+
+    def gen_image_caption(
+        self,
+        images,
+        temperature: float = 0.2,
+        top_p: float = 0.7,
+        qs: Optional[str] = None,
+        seed: int = 0,
+        eos_id: int = 2,
+        conv_mode: str = "vicuna_v1",
+    ) -> List[str]:
+        """uint8 HWC images -> captions (llava_agent.py:65-103)."""
+        tok, plen, caches, stopper, stop_str = self._prefill_images(
+            images, qs, conv_mode
+        )
+        seqs, stop_at = self._decode_tokens(
+            tok, plen, caches, seed, temperature, top_p, eos_id, stopper
+        )
+        return self._texts_from(seqs, stop_at, eos_id, stop_str)
+
+    def gen_image_caption_stream(
+        self,
+        images,
+        temperature: float = 0.2,
+        top_p: float = 0.7,
+        qs: Optional[str] = None,
+        seed: int = 0,
+        eos_id: int = 2,
+        conv_mode: str = "vicuna_v1",
+    ):
+        """Streaming gen_image_caption: yields the partial caption list
+        after every decode chunk (`_DECODE_CHUNK` tokens per device
+        program) — the token stream the serving plane frames out to
+        clients (reference ModelWorker.generate_stream yields partial
+        generations the same way, model_worker.py:123-193)."""
+        tok, plen, caches, stopper, stop_str = self._prefill_images(
+            images, qs, conv_mode
+        )
+        for seqs, stop_at in self._decode_tokens_iter(
+            tok, plen, caches, seed, temperature, top_p, eos_id, stopper
+        ):
+            yield self._texts_from(seqs, stop_at, eos_id, stop_str)
 
     def _make_stopper(self, conv_mode: str):
         """(KeywordStopper, stop_str) for a template — run_llava.py:63-65."""

@@ -99,3 +99,54 @@ def load_captioner_checkpoint(path_or_dir: str, cfg: CaptionerConfig):
     else:
         sd = load_torch_file(path_or_dir)
     return convert_captioner_state_dict(sd, cfg)
+
+
+def mpt_rules(cfg) -> List[Rule]:
+    """Reference MPT key space (modeling_mpt.py: transformer.wte /
+    transformer.blocks.{i}.{norm_1,attn.Wqkv,attn.out_proj,norm_2,
+    ffn.up_proj,ffn.down_proj} / transformer.norm_f) -> our MPT tree."""
+    tk = "transformer"
+    rules: List[Rule] = [
+        (f"{tk}.wte.weight", ("wte", "embedding"), None),
+        (f"{tk}.norm_f.weight", ("norm_f", "ln", "scale"), None),
+        (f"{tk}.norm_f.bias", ("norm_f", "ln", "bias"), None),
+    ]
+    for i in range(cfg.n_layers):
+        lt = f"{tk}.blocks.{i}"
+        lf = (f"block_{i}",)
+        for n in ("norm_1", "norm_2"):
+            rules.append((f"{lt}.{n}.weight", lf + (n, "ln", "scale"), None))
+            rules.append((f"{lt}.{n}.bias", lf + (n, "ln", "bias"), None))
+        rules += _dense(f"{lt}.attn.Wqkv", lf + ("Wqkv",), bias=False)
+        rules += _dense(f"{lt}.attn.out_proj", lf + ("out_proj",), bias=False)
+        rules += _dense(f"{lt}.ffn.up_proj", lf + ("up_proj",), bias=False)
+        rules += _dense(f"{lt}.ffn.down_proj", lf + ("down_proj",), bias=False)
+    return rules
+
+
+def convert_mpt_state_dict(torch_sd: Dict, cfg) -> Tuple[Dict, ConversionReport]:
+    """torch MPT state dict -> MPTForCausalLM params. The no_bias=True
+    checkpoint family (mpt-7b etc.) strips LayerNorm biases too
+    (modeling_mpt.py no_bias loop); those are filled with zeros here
+    instead of reported missing."""
+    import numpy as np
+
+    report = ConversionReport()
+    used: set = set()
+    params: Dict = {}
+    apply_rules(torch_sd, mpt_rules(cfg), params, report, used)
+    still_missing = []
+    for m in report.missing:
+        tkey, fpath = m.split(" -> ")
+        if tkey.endswith(".bias") and "/ln/" in fpath:
+            node = params
+            parts = fpath.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = np.zeros((cfg.d_model,), np.float32)
+            report.filled += 1
+        else:
+            still_missing.append(m)
+    report.missing = still_missing
+    report.unused = sorted(k for k in torch_sd if k not in used)
+    return params, report

@@ -150,14 +150,24 @@ class SUPIREngine:
         # shard_map path manages its own per-device tile count
         enc_chunk, dec_chunk = chunk if (chunk and mesh is None) else (None, None)
 
-        def enc(params, x, use_denoise):
+        def _moments(params, x, use_denoise):
             enc_params = params["vae"]["denoise_encoder" if use_denoise else "encoder"]
-            moments = tiled_encode(
+            return tiled_encode(
                 cfg.vae, enc_params, params["vae"]["quant_conv"], x,
                 tile_size=enc_tile, pad=32, mesh=mesh, chunk=enc_chunk,
                 fast_mode=fast_mode,
             )
-            z = DiagonalGaussian(moments).mode()
+
+        def enc(params, x, use_denoise):
+            z = DiagonalGaussian(_moments(params, x, use_denoise)).mode()
+            return (z * cfg.scale_factor).astype(jnp.float32)
+
+        def enc_sample(params, x, noise):
+            # sampled posterior under tiling: the reference samples even in
+            # tiled mode (VAEHook only wraps encoder.forward; posterior
+            # .sample() still runs, autoencoder.py:319-321)
+            p = DiagonalGaussian(_moments(params, x, use_denoise=False))
+            z = p.mean + p.std * noise.astype(p.mean.dtype)
             return (z * cfg.scale_factor).astype(jnp.float32)
 
         def dec(params, z):
@@ -171,6 +181,7 @@ class SUPIREngine:
         return (
             jax.jit(functools.partial(enc, use_denoise=True)),
             jax.jit(functools.partial(enc, use_denoise=False)),
+            jax.jit(enc_sample),
             jax.jit(dec),
         )
 
@@ -184,7 +195,7 @@ class SUPIREngine:
     def encode_first_stage_with_denoise(self, x):
         """LQ image [B,H,W,3] in [-1,1] -> stage-1 cleaned latent (mode)."""
         if self._tile_vae:
-            f, _, _ = self._tiled_vae_fns(*self._tile_vae, mesh_key=self._mesh_key())
+            f, _, _, _ = self._tiled_vae_fns(*self._tile_vae, mesh_key=self._mesh_key())
             return f(self.params, x)
         return self._encode_denoise_jit(self.params, x)
 
@@ -194,32 +205,49 @@ class SUPIREngine:
         (autoencoder.py:319-321) — so the x_center restoration-guidance
         target is a sampled latent, not the mode. Pass `rng` (or an explicit
         unit-normal `noise` of latent shape, for parity harnesses) to match;
-        with neither, returns the deterministic mode. The tiled-VAE path
-        always returns the mode (tile fns expose no posterior std)."""
-        if self._tile_vae:
-            _, f, _ = self._tiled_vae_fns(*self._tile_vae, mesh_key=self._mesh_key())
-            return f(self.params, x)
+        with neither, returns the deterministic mode — in tiled mode too."""
         if rng is not None and noise is None:
             fdown = self.cfg.vae.downscale_factor
+            # the posterior mean has embed_dim channels (quant_conv emits
+            # 2*embed_dim moments) — z_channels only coincides in SD configs
             noise = jax.random.normal(
                 rng,
                 (x.shape[0], x.shape[1] // fdown, x.shape[2] // fdown,
-                 self.cfg.vae.z_channels),
+                 self.cfg.vae.embed_dim),
                 jnp.float32,
             )
+        if self._tile_vae:
+            _, f, f_sample, _ = self._tiled_vae_fns(
+                *self._tile_vae, mesh_key=self._mesh_key()
+            )
+            if noise is not None:
+                return f_sample(self.params, x, noise)
+            return f(self.params, x)
         if noise is not None:
             return self._encode_sample_jit(self.params, x, noise)
         return self._encode_jit(self.params, x)
 
     def decode_first_stage(self, z):
         if self._tile_vae:
-            _, _, f = self._tiled_vae_fns(*self._tile_vae, mesh_key=self._mesh_key())
+            _, _, _, f = self._tiled_vae_fns(*self._tile_vae, mesh_key=self._mesh_key())
             return f(self.params, z)
         return self._decode_jit(self.params, z)
 
     def batchify_denoise(self, x):
         """Stage-1: degradation-robust encode then decode (SUPIR_model.py:72)."""
         return self.decode_first_stage(self.encode_first_stage_with_denoise(x))
+
+    @staticmethod
+    def _check_override(name: str, arr, expected_shape):
+        """Validate a noise-override's shape up front: a mismatch would
+        otherwise fail deep inside jit with an opaque broadcast error."""
+        if arr is None:
+            return
+        got = tuple(np.asarray(arr).shape)
+        if got != tuple(expected_shape):
+            raise ValueError(
+                f"{name} shape {got} != expected latent shape {tuple(expected_shape)}"
+            )
 
     # ---------------------------------------------------------- conditioning
 
@@ -493,16 +521,55 @@ class SUPIREngine:
         # donate the fresh noise buffer: the scan carry reuses it in place
         return jax.jit(f, donate_argnums=(1,))
 
+    def _tiled_feature_cache_zeros(self, params, c, b: int, zc: int,
+                                   tile_size: int, n_tiles: int,
+                                   mesh, tile_chunk: Optional[int]):
+        """cache0 for the tiled feature cache, laid out to match
+        make_tiled_denoise_cached's folded / chunked / sharded variants."""
+        def cond2_dummy(bprime):
+            return {
+                "crossattn": jnp.zeros(
+                    (2 * bprime,) + tuple(c["crossattn"].shape[1:]), jnp.float32),
+                "vector": jnp.zeros(
+                    (2 * bprime,) + tuple(c["vector"].shape[1:]), jnp.float32),
+                "control": jnp.zeros(
+                    (2 * bprime, tile_size, tile_size, c["control"].shape[3]),
+                    jnp.float32),
+            }
+
+        x_shape = lambda bprime: (bprime, tile_size, tile_size, zc)
+        if mesh is not None and "tile" in getattr(mesh, "shape", {}) \
+                and mesh.shape["tile"] > 1:
+            nshard = mesh.shape["tile"]
+            local_t = (n_tiles + (-n_tiles) % nshard) // nshard
+            one = self._feature_cache_zeros(
+                params, cond2_dummy(local_t * b), x_shape(local_t * b))
+            return jax.tree_util.tree_map(
+                lambda a: jnp.zeros((nshard * a.shape[0],) + a.shape[1:], a.dtype),
+                one,
+            )
+        if tile_chunk:
+            ng = (n_tiles + (-n_tiles) % tile_chunk) // tile_chunk
+            one = self._feature_cache_zeros(
+                params, cond2_dummy(tile_chunk * b), x_shape(tile_chunk * b))
+            return jax.tree_util.tree_map(
+                lambda a: jnp.zeros((ng,) + a.shape, a.dtype), one)
+        return self._feature_cache_zeros(
+            params, cond2_dummy(n_tiles * b), x_shape(n_tiles * b))
+
     @functools.lru_cache(maxsize=8)
     def _tiled_sample_fn(
         self, num_steps: int, s_noise: float, tile_size: int, tile_stride: int,
         local_prompts: bool, mesh_key=None, sampler_name: str = "TiledRestoreEDM",
         tile_chunk: Optional[int] = None, segmented: bool = False,
+        cache_interval: int = 0,
     ):
         from supir_tpu.parallel.tiled_sampler import (
             make_tiled_denoise,
+            make_tiled_denoise_cached,
             tiled_restore_dpmpp2m_sample,
             tiled_restore_edm_sample,
+            tiled_restore_edm_sample_cached,
         )
 
         mesh = self._tiled_mesh if mesh_key is not None else None
@@ -510,7 +577,7 @@ class SUPIREngine:
         def f(params, noised_z, c, uc, x_center, tables, rng, step_offset=0,
               carry=None, bt_range=None):
             # conditioning without 'control' (tiles carry their own slices)
-            def denoise_flat(x_flat, sigma_b, cfg_b, ctrl_s, control_flat, ca_flat):
+            def _cond2(x_flat, sigma_b, control_flat, ca_flat):
                 bb = x_flat.shape[0]
 
                 def rep(a):
@@ -530,15 +597,26 @@ class SUPIREngine:
                 }
                 x2 = jnp.concatenate([x_flat, x_flat], axis=0)
                 s2 = jnp.concatenate([sigma_b, sigma_b], axis=0)
+                return cond2, x2, s2
+
+            def denoise_flat(x_flat, sigma_b, cfg_b, ctrl_s, control_flat, ca_flat):
+                cond2, x2, s2 = _cond2(x_flat, sigma_b, control_flat, ca_flat)
                 den = self.denoiser(
                     functools.partial(self._network, params), x2, s2, cond2, ctrl_s
                 )
                 d_uc, d_c = jnp.split(den, 2, axis=0)
                 return cfg_combine(d_uc, d_c, cfg_b)
 
-            denoise_tile = make_tiled_denoise(
-                denoise_flat, mesh=mesh, tile_chunk=tile_chunk
-            )
+            def denoise_flat_cached(x_flat, sigma_b, cfg_b, ctrl_s,
+                                    control_flat, ca_flat, cache, rec):
+                cond2, x2, s2 = _cond2(x_flat, sigma_b, control_flat, ca_flat)
+                den, cache = self.denoiser.call_cached(
+                    functools.partial(self._network_cached, params),
+                    x2, s2, cond2, ctrl_s, cache, rec,
+                )
+                d_uc, d_c = jnp.split(den, 2, axis=0)
+                return cfg_combine(d_uc, d_c, cfg_b), cache
+
             from supir_tpu.parallel.tiled_sampler import _gather_tiles, make_tile_plan
 
             starts, _, _ = make_tile_plan(
@@ -547,6 +625,9 @@ class SUPIREngine:
             control_tiles = _gather_tiles(c["control"], starts, tile_size)
             ca_tiles = c.get("crossattn_tiles") if local_prompts else None
             if sampler_name == "TiledRestoreDPMPP2M":
+                denoise_tile = make_tiled_denoise(
+                    denoise_flat, mesh=mesh, tile_chunk=tile_chunk
+                )
                 return tiled_restore_dpmpp2m_sample(
                     denoise_tile, noised_z, rng, tables,
                     control_tiles=control_tiles,
@@ -556,6 +637,38 @@ class SUPIREngine:
                     step_offset=step_offset, carry_in=carry,
                     bt_range=bt_range, return_carry=segmented,
                 )
+            if cache_interval >= 1:
+                denoise_tile_cached = make_tiled_denoise_cached(
+                    denoise_flat_cached, mesh=mesh, tile_chunk=tile_chunk
+                )
+                # cache0: fresh zeros on an unsegmented / first-segment call,
+                # the threaded carry on later segments
+                cache0 = carry if carry is not None else (
+                    self._tiled_feature_cache_zeros(
+                        params, c, noised_z.shape[0], noised_z.shape[3],
+                        tile_size, len(starts), mesh, tile_chunk,
+                    )
+                )
+                rec = (
+                    np.arange(num_steps)
+                    + (int(step_offset) if not segmented else 0)
+                ) % cache_interval == 0
+                if segmented:
+                    # recompute flags must use GLOBAL step indices; with a
+                    # traced step_offset compute them traced
+                    rec = (jnp.arange(num_steps, dtype=jnp.int32)
+                           + jnp.asarray(step_offset, jnp.int32)) % cache_interval == 0
+                return tiled_restore_edm_sample_cached(
+                    denoise_tile_cached, cache0, jnp.asarray(rec),
+                    noised_z, rng, tables,
+                    x_center=x_center, control_tiles=control_tiles,
+                    tile_size=tile_size, tile_stride=tile_stride,
+                    s_noise=s_noise, crossattn_tiles=ca_tiles,
+                    step_offset=step_offset, return_cache=segmented,
+                )
+            denoise_tile = make_tiled_denoise(
+                denoise_flat, mesh=mesh, tile_chunk=tile_chunk
+            )
             return tiled_restore_edm_sample(
                 denoise_tile, noised_z, rng, tables,
                 x_center=x_center, control_tiles=control_tiles,
@@ -595,19 +708,32 @@ class SUPIREngine:
         sampler_name: Optional[str] = None,
         tile_chunk: Optional[int] = None,
         steps_per_call: Optional[int] = None,
+        noise_override: Optional[jnp.ndarray] = None,
+        center_noise_override: Optional[jnp.ndarray] = None,
+        feature_cache_interval: int = 0,
     ) -> jnp.ndarray:
         """Tiled restore pipeline (reference TiledRestoreEDMSampler /
         TiledRestoreDPMPP2MSampler, sampling.py:600-730): 4K+ outputs,
         tiles batched or sharded over the 'tile' mesh axis; `tile_chunk`
         bounds tiles-per-denoiser-call for single-chip HBM at 4K+;
         `steps_per_call` segments the step scan into multiple programs
-        (EDM only) to bound single-program runtime."""
+        (EDM only) to bound single-program runtime.
+
+        `feature_cache_interval` (TiledRestoreEDM only): 0 disables; N>=1
+        runs the tile-indexed cross-step feature cache — the per-tile UNet
+        encoder/middle + control pyramid recompute every N steps and are
+        reused in between (N=1 exact, N>1 approximates; the cache threads
+        across `steps_per_call` segments with global step semantics)."""
         import dataclasses as dc
 
         cfg = self.cfg
         sampler_name = sampler_name or (
             cfg.sampler.name if cfg.sampler.name.startswith("Tiled") else "TiledRestoreEDM"
         )
+        if feature_cache_interval and sampler_name != "TiledRestoreEDM":
+            raise ValueError(
+                "feature_cache_interval is only supported with TiledRestoreEDM"
+            )
         scfg = dc.replace(
             cfg.sampler, num_steps=num_steps, restore_cfg=restoration_scale,
             s_churn=s_churn, s_noise=s_noise,
@@ -634,19 +760,29 @@ class SUPIREngine:
         _z = z_override if z_override is not None else self.encode_first_stage_with_denoise(x)
         x_stage1 = self.decode_first_stage(_z)
         # x_center is a SAMPLED latent in the reference (see
-        # encode_first_stage docstring); tiled VAE mode falls back to mode
+        # encode_first_stage docstring) — sampled under tiling too
+        self._check_override("center_noise_override", center_noise_override, _z.shape)
         z_stage1 = self.encode_first_stage(
-            x_stage1, rng=jax.random.fold_in(rng, 2)
+            x_stage1,
+            noise=center_noise_override,
+            rng=None if center_noise_override is not None
+            else jax.random.fold_in(rng, 2),
         )
 
-        noised_z = jax.random.normal(rng_noise, _z.shape, jnp.float32)
+        self._check_override("noise_override", noise_override, _z.shape)
+        if noise_override is not None:
+            noised_z = jnp.asarray(noise_override, jnp.float32)
+        else:
+            noised_z = jax.random.normal(rng_noise, _z.shape, jnp.float32)
         noised_z = noised_z * np.sqrt(1.0 + float(sigmas[0]) ** 2)
 
         local_prompts = "crossattn_tiles" in c
+        cache_iv = int(feature_cache_interval)
         fn = self._tiled_sample_fn(
             num_steps, s_noise, tile_size, tile_stride, local_prompts,
             mesh_key=id(self._tiled_mesh) if self._tiled_mesh is not None else None,
             sampler_name=sampler_name, tile_chunk=tile_chunk,
+            cache_interval=cache_iv,
         )
         if steps_per_call and steps_per_call < num_steps:
             # run the step scan in segments of steps_per_call: bounds single-
@@ -656,6 +792,7 @@ class SUPIREngine:
             # bit-invariant: steps_per_call in {None, 5, 10} give identical
             # outputs for a fixed seed.
             is_dpmpp = sampler_name == "TiledRestoreDPMPP2M"
+            carries_cache = cache_iv >= 1 and not is_dpmpp
             x_cur = noised_z
             carry = None
             bt_range = None
@@ -678,8 +815,17 @@ class SUPIREngine:
                     local_prompts,
                     mesh_key=id(self._tiled_mesh) if self._tiled_mesh is not None else None,
                     sampler_name=sampler_name, tile_chunk=tile_chunk,
-                    segmented=is_dpmpp,
+                    segmented=is_dpmpp or carries_cache,
+                    cache_interval=cache_iv,
                 )
+                if carries_cache:
+                    # the feature cache threads across segments; recompute
+                    # flags inside use GLOBAL step indices via step_offset
+                    x_cur, carry = seg_fn(
+                        self.params, x_cur, c, uc, z_stage1, seg_tables,
+                        rng_sample, jnp.int32(i), carry,
+                    )
+                    continue
                 if is_dpmpp:
                     x_cur, carry = seg_fn(
                         self.params, x_cur, c, uc, z_stage1, seg_tables,
@@ -790,6 +936,8 @@ class SUPIREngine:
         # (AutoencoderKLInferenceWrapper.encode, autoencoder.py:319-321);
         # `center_noise_override` injects the posterior's unit noise for
         # parity harnesses, `rng` samples it from the seed otherwise
+        self._check_override("center_noise_override", center_noise_override, _z.shape)
+        self._check_override("noise_override", noise_override, _z.shape)
         z_stage1 = self.encode_first_stage(
             x_stage1,
             noise=center_noise_override,

@@ -61,7 +61,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         x = Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        return x * nn.gelu(gate)
+        # reference GEGLU is x * F.gelu(gate) — exact erf (attention.py:91)
+        return x * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):

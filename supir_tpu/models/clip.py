@@ -81,7 +81,11 @@ class CLIPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask_bias):
-        act = quick_gelu if self.cfg.use_quick_gelu else nn.gelu
+        # non-quick towers (OpenCLIP bigG) use the EXACT erf gelu
+        # (open_clip nn.GELU()), not flax's default tanh approximation
+        act = quick_gelu if self.cfg.use_quick_gelu else (
+            lambda x: nn.gelu(x, approximate=False)
+        )
         ln = lambda name: FusedLayerNorm(eps=1e-5, dtype=self.dtype, name=name)
         x = x + CLIPAttention(self.cfg, dtype=self.dtype, name="attn")(ln("ln_1")(x), mask_bias)
         h = ln("ln_2")(x)

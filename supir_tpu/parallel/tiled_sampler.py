@@ -138,6 +138,80 @@ def tiled_restore_edm_sample(
     return x
 
 
+def tiled_restore_edm_sample_cached(
+    denoise_tile_cached: Callable,
+    cache0,
+    recompute: jnp.ndarray,
+    x: jnp.ndarray,
+    rng: jax.Array,
+    tables: StepTables,
+    x_center: jnp.ndarray,
+    control_tiles: jnp.ndarray,
+    tile_size: int,
+    tile_stride: int,
+    s_noise: float = 1.003,
+    crossattn_tiles: Optional[jnp.ndarray] = None,
+    step_offset=0,
+    return_cache: bool = False,
+):
+    """Tiled RestoreEDM with the cross-step feature cache (tile-indexed):
+    the UNet encoder/middle + control pyramid of EVERY tile is recomputed
+    only on steps where `recompute[i]` is True and reused in between —
+    the DeepCache-style speedup of the flat path (engine/supir.py
+    _network_cached) extended to the 4K tiled pipeline, whose per-tile
+    encoder cost dominates wall clock. recompute uses GLOBAL step
+    semantics via `step_offset`, and `return_cache=True` threads the cache
+    across `steps_per_call` segments."""
+    b, h, w, c = x.shape
+    starts, weights, count = make_tile_plan(h, w, tile_size, tile_stride)
+    ts = tile_size
+    n = tables.num_steps
+    step_idx = jnp.arange(n, dtype=jnp.int32) + jnp.asarray(step_offset, jnp.int32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(step_idx)
+    count_j = jnp.asarray(count)[None, :, :, None]
+    weights_j = jnp.asarray(weights)
+
+    x_center_tiles = _gather_tiles(x_center, starts, ts)
+
+    xs = (
+        jnp.asarray(tables.sigma),
+        jnp.asarray(tables.sigma_hat),
+        jnp.asarray(tables.next_sigma),
+        jnp.asarray(tables.churn_std),
+        jnp.asarray(tables.cfg_scale),
+        jnp.asarray(tables.control_scale),
+        jnp.asarray(tables.restore_weight),
+        jnp.asarray(recompute),
+        keys,
+    )
+
+    def step(carry, scan_in):
+        x, cache = carry
+        (sigma, sigma_hat, next_sigma, churn_std, cfg_s, ctrl_s, rw, rec,
+         key) = scan_in
+        eps = jax.random.normal(key, x.shape, x.dtype) * s_noise
+        x_churned = x + eps * churn_std
+
+        x_tiles = _gather_tiles(x_churned, starts, ts)
+        sig_b = jnp.full((b,), sigma_hat)
+        cfg_b = jnp.full((b,), cfg_s)
+        denoised, cache = denoise_tile_cached(
+            x_tiles, sig_b, cfg_b, ctrl_s, control_tiles, crossattn_tiles,
+            cache, rec,
+        )
+        denoised = denoised - (denoised - x_center_tiles) * rw
+        d = (x_tiles - denoised) / sigma_hat
+        stepped = x_tiles + d * (next_sigma - sigma_hat)
+
+        blended = _scatter_tiles(stepped, starts, x.shape, weights_j) / count_j
+        return (blended, cache), None
+
+    (x, cache), _ = jax.lax.scan(step, (x, cache0), xs)
+    if return_cache:
+        return x, cache
+    return x
+
+
 def tiled_restore_dpmpp2m_sample(
     denoise_tile: Callable,
     x: jnp.ndarray,
@@ -336,5 +410,114 @@ def make_tiled_denoise(
                 out_specs=P("tile"), check_vma=False,
             )(x_tiles, control_tiles, crossattn_tiles, sig_a, cfg_a, ctrl_a)
         return out[:t]
+
+    return sharded
+
+
+def make_tiled_denoise_cached(
+    denoise_flat_cached: Callable,
+    mesh: Optional[Mesh] = None,
+    tile_chunk: Optional[int] = None,
+):
+    """Cache-threading variant of `make_tiled_denoise`.
+
+    denoise_flat_cached(x [B',...], sigma [B'], cfg [B'], ctrl_s,
+        control [B',...], crossattn or None, cache, recompute)
+        -> ([B',...], cache)
+    where the cache pytree's leaves are batched over the SAME flat batch
+    as x (the engine builds cache0 with the matching layout, see
+    SUPIREngine._tiled_feature_cache_zeros):
+      - folded:  flat [2*T*B, ...] leaves
+      - chunked: chunk-major [ng, 2*chunk*B, ...] leaves (lax.map axis 0)
+      - sharded: [nshard * 2*localT*B, ...] leaves split by P('tile')
+    """
+
+    def folded(x_tiles, sigma, cfg, ctrl_s, control_tiles, crossattn_tiles,
+               cache, rec):
+        t, b = x_tiles.shape[0], x_tiles.shape[1]
+        flat = x_tiles.reshape((t * b,) + x_tiles.shape[2:])
+        ctrl = control_tiles.reshape((t * b,) + control_tiles.shape[2:])
+        sig = jnp.tile(sigma, t)
+        cfg_t = jnp.tile(cfg, t)
+        ca = None
+        if crossattn_tiles is not None:
+            ca = crossattn_tiles.reshape((t * b,) + crossattn_tiles.shape[2:])
+        out, cache = denoise_flat_cached(
+            flat, sig, cfg_t, ctrl_s, ctrl, ca, cache, rec
+        )
+        return out.reshape(x_tiles.shape), cache
+
+    def chunked(x_tiles, sigma, cfg, ctrl_s, control_tiles, crossattn_tiles,
+                cache, rec):
+        t = x_tiles.shape[0]
+        pad = (-t) % tile_chunk
+        if pad:
+            x_tiles = jnp.concatenate([x_tiles, x_tiles[-pad:]], 0)
+            control_tiles = jnp.concatenate([control_tiles, control_tiles[-pad:]], 0)
+            if crossattn_tiles is not None:
+                crossattn_tiles = jnp.concatenate(
+                    [crossattn_tiles, crossattn_tiles[-pad:]], 0
+                )
+        ng = (t + pad) // tile_chunk
+        xg = x_tiles.reshape((ng, tile_chunk) + x_tiles.shape[1:])
+        cg = control_tiles.reshape((ng, tile_chunk) + control_tiles.shape[1:])
+        cag = None
+        if crossattn_tiles is not None:
+            cag = crossattn_tiles.reshape(
+                (ng, tile_chunk) + crossattn_tiles.shape[1:]
+            )
+
+        def body(args):
+            if cag is not None:
+                xb, cb, cab, cacheb = args
+            else:
+                xb, cb, cacheb = args
+                cab = None
+            return folded(xb, sigma, cfg, ctrl_s, cb, cab, cacheb, rec)
+
+        xs = (xg, cg, cag, cache) if cag is not None else (xg, cg, cache)
+        out, cache = jax.lax.map(body, xs)
+        out = out.reshape((ng * tile_chunk,) + out.shape[2:])
+        return out[:t], cache
+
+    if mesh is None or "tile" not in getattr(mesh, "shape", {}) or mesh.shape["tile"] <= 1:
+        return chunked if tile_chunk else folded
+
+    def sharded(x_tiles, sigma, cfg, ctrl_s, control_tiles, crossattn_tiles,
+                cache, rec):
+        t = x_tiles.shape[0]
+        nshard = mesh.shape["tile"]
+        pad = (-t) % nshard
+        if pad:
+            x_tiles = jnp.concatenate([x_tiles, x_tiles[-pad:]], 0)
+            control_tiles = jnp.concatenate([control_tiles, control_tiles[-pad:]], 0)
+            if crossattn_tiles is not None:
+                crossattn_tiles = jnp.concatenate(
+                    [crossattn_tiles, crossattn_tiles[-pad:]], 0
+                )
+        sig_a = jnp.asarray(sigma)
+        cfg_a = jnp.asarray(cfg)
+        ctrl_a = jnp.asarray(ctrl_s, jnp.float32).reshape(())
+        rec_a = jnp.asarray(rec).reshape(())
+        cache_spec = jax.tree_util.tree_map(lambda _: P("tile"), cache)
+        if crossattn_tiles is None:
+            f = lambda xt, ct, cch, s_, c_, cs_, r_: folded(
+                xt, s_, c_, cs_, ct, None, cch, r_)
+            out, cache = shard_map(
+                f, mesh=mesh,
+                in_specs=(P("tile"), P("tile"), cache_spec, P(), P(), P(), P()),
+                out_specs=(P("tile"), cache_spec), check_vma=False,
+            )(x_tiles, control_tiles, cache, sig_a, cfg_a, ctrl_a, rec_a)
+        else:
+            f = lambda xt, ct, ca, cch, s_, c_, cs_, r_: folded(
+                xt, s_, c_, cs_, ct, ca, cch, r_)
+            out, cache = shard_map(
+                f, mesh=mesh,
+                in_specs=(P("tile"), P("tile"), P("tile"), cache_spec,
+                          P(), P(), P(), P()),
+                out_specs=(P("tile"), cache_spec), check_vma=False,
+            )(x_tiles, control_tiles, crossattn_tiles, cache, sig_a, cfg_a,
+              ctrl_a, rec_a)
+        return out[:t], cache
 
     return sharded

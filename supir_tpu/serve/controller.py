@@ -145,7 +145,9 @@ class ControllerHandler(BaseHTTPRequestHandler):
             reg.remove_expired()
             self._json(200, {"address": reg.get_worker_address(data["model"])})
         elif self.path == "/worker_generate_stream":
-            # proxy to a worker, falling back / pruning dead ones
+            # STREAMING proxy to a worker (reference controller.py:193-219
+            # worker_api_generate_stream): forward delimiter-framed bytes to
+            # the client as they arrive, pruning dead workers on failure
             import urllib.request
 
             reg.remove_expired()
@@ -153,6 +155,7 @@ class ControllerHandler(BaseHTTPRequestHandler):
             if not addr:
                 self._json(200, {"text": "", "error_code": 2})
                 return
+            headers_sent = False
             try:
                 req = urllib.request.Request(
                     addr + "/worker_generate_stream",
@@ -160,15 +163,23 @@ class ControllerHandler(BaseHTTPRequestHandler):
                     headers={"Content-Type": "application/json"},
                 )
                 with urllib.request.urlopen(req, timeout=120) as r:
-                    body = r.read()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.end_headers()
+                    headers_sent = True
+                    read1 = getattr(r, "read1", None) or r.read
+                    while True:
+                        b = read1(4096)
+                        if not b:
+                            break
+                        self.wfile.write(b)
+                        self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-stream
             except Exception:
                 reg.remove(addr)  # dead worker removal (controller.py:141-160)
-                self._json(200, {"text": "", "error_code": 3})
+                if not headers_sent:
+                    self._json(200, {"text": "", "error_code": 3})
         else:
             self._json(404, {"error": "unknown endpoint"})
 

@@ -36,6 +36,25 @@ def _post(addr: str, path: str, payload: dict, timeout: float = 600.0) -> dict:
         return json.loads(r.read() or b"{}")
 
 
+def _post_stream(addr: str, path: str, payload: dict,
+                 timeout: float = 600.0) -> dict:
+    """POST to a delimiter-framed streaming endpoint; drain the stream and
+    return the FINAL payload (non-streaming clients of the streaming
+    protocol, like the reference's test_message.py)."""
+    from supir_tpu.serve.worker import iter_stream_frames
+
+    req = urllib.request.Request(
+        addr + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    last: dict = {}
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        for last in iter_stream_frames(r):
+            pass
+    return last
+
+
 def register_worker(controller_addr: str, worker_addr: str,
                     check_heart_beat: bool = True) -> dict:
     """Manually (re-)register a worker with the controller
@@ -63,8 +82,8 @@ def send_test_message(controller_addr: str, model_name: Optional[str] = None,
     addr = ret.get("address", "")
     if not addr:
         raise RuntimeError(f"no worker for model {model}")
-    return _post(addr, "/worker_generate_stream",
-                 {"text": text, "prompt": text, "model": model})
+    return _post_stream(addr, "/worker_generate_stream",
+                        {"text": text, "prompt": text, "model": model})
 
 
 _PAGE = """<!doctype html><html><head><title>supir-tpu chat</title><style>
@@ -194,7 +213,7 @@ class WebChatHandler(BaseHTTPRequestHandler):
             if not addr:
                 reply = "(no worker available)"
             else:
-                out = _post(addr, "/worker_generate_stream", payload)
+                out = _post_stream(addr, "/worker_generate_stream", payload)
                 reply = out.get("text") or out.get("caption") or json.dumps(out)
         except Exception as e:  # surface errors in the chat, like the ref UI
             reply = f"(error: {e})"

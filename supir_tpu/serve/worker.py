@@ -94,17 +94,32 @@ class ModelWorker:
     # -------------------------------------------------------- inference
 
     def generate(self, params: dict) -> dict:
+        """Blocking generate: drains the stream, returns the final payload."""
+        last = {"text": "", "error_code": ErrorCode_ERROR, "error": "empty"}
+        for last in self.generate_stream(params):
+            pass
+        return last
+
+    def generate_stream(self, params: dict):
+        """Semaphore-limited streaming generate (model_worker.py:123-193):
+        yields payload dicts as the work function produces them. A work_fn
+        that returns a generator streams; a plain-dict work_fn yields once."""
         acquired = self.semaphore.acquire(timeout=60)
         if not acquired:
-            return {"text": "", "error_code": ErrorCode_ERROR, "error": "busy"}
+            yield {"text": "", "error_code": ErrorCode_ERROR, "error": "busy"}
+            return
         with self.lock:
             self.active += 1
         try:
-            return self.work_fn(params)
+            out = self.work_fn(params)
+            if hasattr(out, "__next__"):  # generator work_fn -> stream
+                yield from out
+            else:
+                yield out
         except MemoryError as e:
-            return {"text": "", "error_code": ErrorCode_OOM, "error": str(e)}
+            yield {"text": "", "error_code": ErrorCode_OOM, "error": str(e)}
         except Exception as e:  # model_worker.py:194-223
-            return {"text": "", "error_code": ErrorCode_ERROR, "error": str(e)}
+            yield {"text": "", "error_code": ErrorCode_ERROR, "error": str(e)}
         finally:
             with self.lock:
                 self.active -= 1
@@ -129,7 +144,18 @@ class WorkerHandler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         data = json.loads(self.rfile.read(n) or b"{}")
         if self.path == "/worker_generate_stream":
-            self._json(200, self.worker.generate(data))
+            # delimiter-framed streaming (reference model_worker.py:123-193:
+            # each partial payload is json + b"\0"); connection close ends
+            # the body (HTTP/1.0 semantics — no Content-Length up front)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.end_headers()
+            try:
+                for chunk in self.worker.generate_stream(data):
+                    self.wfile.write(json.dumps(chunk).encode() + b"\0")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-stream
         elif self.path == "/worker_get_status":
             self._json(
                 200,
@@ -149,22 +175,43 @@ def serve_worker(worker: ModelWorker, host: str = "0.0.0.0", port: int = 21002):
 
 
 def caption_work_fn(captioner):
-    """work_fn serving caption requests (the reference ModelWorker's
-    generate_stream for LLaVA, model_worker.py:123-193)."""
+    """Streaming work_fn serving caption requests (the reference
+    ModelWorker's generate_stream for LLaVA, model_worker.py:123-193):
+    yields the growing partial caption after every decode chunk, so
+    clients see tokens on the wire instead of one blob after ~10 s."""
     import numpy as np
     from PIL import Image
 
-    def work(params: dict) -> dict:
+    def work(params: dict):
         img = Image.open(io.BytesIO(base64.b64decode(params["image"]))).convert("RGB")
-        caps = captioner.gen_image_caption(
+        for partial in captioner.gen_image_caption_stream(
             [np.asarray(img)],
             temperature=float(params.get("temperature", 0.2)),
             top_p=float(params.get("top_p", 0.7)),
             qs=params.get("prompt") or None,
-        )
-        return {"text": caps[0], "error_code": 0}
+        ):
+            yield {"text": partial[0], "error_code": 0}
 
     return work
+
+
+def iter_stream_frames(resp, block: int = 4096):
+    """Parse a delimiter-framed response into payload dicts as bytes
+    arrive (client side of the b"\\0" protocol). `resp` is any object
+    with read1/read returning b"" at EOF."""
+    read1 = getattr(resp, "read1", None) or resp.read
+    buf = b""
+    while True:
+        b = read1(block)
+        if not b:
+            break
+        buf += b
+        while b"\0" in buf:
+            frame, buf = buf.split(b"\0", 1)
+            if frame:
+                yield json.loads(frame)
+    if buf.strip():
+        yield json.loads(buf)
 
 
 def main(argv=None):

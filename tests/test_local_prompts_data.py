@@ -69,10 +69,10 @@ def test_tiled_vae_cache_tracks_mesh():
     engine.init_tile_vae(encoder_tile_size=64, decoder_tile_size=8)
     x = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 3)) * 0.3, -1, 1)
     z0 = engine.encode_first_stage_with_denoise(x)  # populates mesh-less cache
-    f_nomesh, _, _ = engine._tiled_vae_fns(*engine._tile_vae, mesh_key=engine._mesh_key())
+    f_nomesh, _, _, _ = engine._tiled_vae_fns(*engine._tile_vae, mesh_key=engine._mesh_key())
     mesh = make_mesh((1, 4, 2), ("data", "tile", "model"))
     engine.set_tiled_mesh(mesh)
-    f_mesh, _, _ = engine._tiled_vae_fns(*engine._tile_vae, mesh_key=engine._mesh_key())
+    f_mesh, _, _, _ = engine._tiled_vae_fns(*engine._tile_vae, mesh_key=engine._mesh_key())
     assert f_mesh is not f_nomesh
     z1 = engine.encode_first_stage_with_denoise(x)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-4)

@@ -59,6 +59,23 @@ def _post(url, payload):
         return json.loads(r.read())
 
 
+def _post_stream(url, payload, on_frame=None):
+    """POST to a streaming endpoint; collect the b'\\0'-framed payloads."""
+    from supir_tpu.serve.worker import iter_stream_frames
+
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    frames = []
+    with urllib.request.urlopen(req, timeout=30) as r:
+        for f in iter_stream_frames(r):
+            frames.append(f)
+            if on_frame:
+                on_frame(f)
+    return frames
+
+
 @pytest.fixture
 def live_cluster():
     chttpd, registry = serve_controller("127.0.0.1", 0)
@@ -87,9 +104,10 @@ def test_live_roundtrip(live_cluster):
     caddr, worker = live_cluster
     models = _post(caddr + "/list_models", {})
     assert models["models"] == ["supir"]
-    out = _post(
+    frames = _post_stream(
         caddr + "/worker_generate_stream", {"model": "supir", "prompt": "hello"}
     )
+    out = frames[-1]
     assert out["error_code"] == 0
     assert out["text"] == "echo:hello"
 
@@ -101,9 +119,62 @@ def test_worker_error_isolation(live_cluster):
         raise ValueError("boom")
 
     worker.work_fn = bad
-    out = _post(caddr + "/worker_generate_stream", {"model": "supir"})
+    out = _post_stream(caddr + "/worker_generate_stream", {"model": "supir"})[-1]
     assert out["error_code"] == 2
     assert "boom" in out.get("error", "")
+
+
+def test_streaming_partial_chunks_through_controller(live_cluster):
+    """Token streaming (reference model_worker.py:123-193 + controller
+    proxy controller.py:193-219): partial payloads must arrive on the wire
+    WHILE generation is still running — at least 2 partial frames before
+    the work function finishes."""
+    caddr, worker = live_cluster
+    finished = threading.Event()
+
+    def slow_stream(params):
+        text = ""
+        for word in ["a", "b", "c", "d"]:
+            text += word
+            yield {"text": text, "error_code": 0}
+            time.sleep(0.2)
+        finished.set()
+
+    worker.work_fn = slow_stream
+    seen_before_finish = []
+
+    def on_frame(f):
+        if not finished.is_set():
+            seen_before_finish.append(f["text"])
+
+    frames = _post_stream(
+        caddr + "/worker_generate_stream", {"model": "supir"}, on_frame=on_frame
+    )
+    assert [f["text"] for f in frames] == ["a", "ab", "abc", "abcd"]
+    assert len(seen_before_finish) >= 2, (
+        f"stream buffered: only {seen_before_finish} arrived before completion"
+    )
+
+
+def test_captioner_stream_yields_partials():
+    """gen_image_caption_stream yields a growing caption per decode chunk,
+    and its final yield equals the non-streaming gen_image_caption."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig
+
+    cfg = CaptionerConfig.tiny()
+    cfg = dc.replace(cfg, max_new_tokens=40)  # >= 2 decode chunks of 16
+    agent = CaptionerAgent.create_random(cfg)
+    img = np.random.default_rng(0).integers(
+        0, 255, (cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8
+    )
+    partials = list(agent.gen_image_caption_stream([img], temperature=0.0))
+    assert len(partials) >= 2, "expected at least 2 streamed chunks"
+    final = agent.gen_image_caption([img], temperature=0.0)
+    assert partials[-1] == final
 
 
 # ---------------------------------------------------------------- web chat
