@@ -103,6 +103,9 @@ def main():
                     help="weight quantization for --captioner")
     ap.add_argument("--kv_int8", action="store_true",
                     help="int8 KV cache for --captioner (default bf16)")
+    ap.add_argument("--int4_halfsplit", action="store_true",
+                    help="legacy half-split int4 layout (shift-pair unpack) "
+                         "instead of the paired one-cast default")
     ap.add_argument("--int4_native", action="store_true",
                     help="native jnp.int4 weight layout for --captioner "
                          "(one-cast dequant) instead of packed uint8")
@@ -248,7 +251,7 @@ def main():
 
 
 def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
-                         int4_native: bool = False):
+                         int4_native: bool = False, int4_halfsplit: bool = False):
     """Abstract-weights captioner at 13B dims (tiny on CPU) for throughput
     work; weight VALUES are irrelevant to decode speed, so the quantized
     tree is built via eval_shape + zeros — 13B bf16 would not even fit in
@@ -295,7 +298,8 @@ def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
             }
         if bits == 4:
             return {
-                "q4": jnp.zeros((cin // 2, cout), jnp.uint8),
+                ("q4" if int4_halfsplit else "qp"):
+                    jnp.zeros((cin // 2, cout), jnp.uint8),
                 "scale": jnp.ones((1, cout), jnp.float32),
             }
         return {
@@ -327,6 +331,7 @@ def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
         llama=dc.replace(
             cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4,
             fused_qkv=True, int4_native=int4_native,
+            int4_paired=not int4_halfsplit,
         ),
     )
     return CaptionerAgent(qcfg, params), new_tokens, model_name
@@ -350,6 +355,7 @@ def bench_captioner(args):
     agent, new_tokens, model_name = make_captioner_agent(
         bits, kv_int8=getattr(args, "kv_int8", False),
         int4_native=getattr(args, "int4_native", False),
+        int4_halfsplit=getattr(args, "int4_halfsplit", False),
     )
 
     img = np.zeros((336, 336, 3), np.uint8)
@@ -389,14 +395,14 @@ def bench_captioner(args):
         pos0 = jnp.full((1,), 64, jnp.int32)
         rng = jax.random.PRNGKey(0)
         toks, caches = decode_chunk(agent.params, tok, pos0, caches, rng, 0.0, 0.7)
-        jax.block_until_ready(toks)  # warm (already compiled by the caption)
+        jax.device_get(toks[0])  # warm; block_until_ready is a no-op on axon
         n_chunks, chunk = 6, toks.shape[0]
         t0 = time.perf_counter()
         for i in range(n_chunks):
             toks, caches = decode_chunk(
                 agent.params, toks[-1], pos0 + (i + 1) * chunk, caches, rng, 0.0, 0.7
             )
-        jax.block_until_ready(toks)
+        jax.device_get(toks[0])
         ms_tok = (time.perf_counter() - t0) / (n_chunks * chunk) * 1e3
 
         import jax.tree_util as jtu

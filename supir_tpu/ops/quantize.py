@@ -85,6 +85,109 @@ def quantize_int4(w: jnp.ndarray):
     return packed, scale
 
 
+def quantize_int4_paired(w: jnp.ndarray):
+    """w [in, out] -> (packed uint8 [in//2, out], scale fp32 [1, out]).
+
+    ADJACENT-PAIR packing: byte i packs row 2i (low nibble) and row 2i+1
+    (high nibble) — exactly the layout `pltpu.bitcast(packed, jnp.int4)`
+    reinterprets in-register (byte row i -> s4 rows 2i=low, 2i+1=high,
+    verified on hardware by tools/bitcast_probe.py). The dequant inside
+    the GEMV kernel is then ONE hardware s4->bf16 cast with no sublane
+    shuffle and no per-nibble shift math, unlike the half-split layout
+    whose unpack is VPU-bound (see _qmm_kernel). Same [-7, 7] symmetric
+    grid and scales as quantize_int4. `in` must be even."""
+    assert w.shape[0] % 2 == 0, "int4 packing needs an even contraction dim"
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    scale = (absmax / 7.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / jnp.maximum(scale, 1e-12)), -7, 7).astype(jnp.int8)
+    qu = (q & 0xF).astype(jnp.uint8)
+    packed = qu[0::2] | (qu[1::2] << 4)
+    return packed, scale
+
+
+def unpack_int4_paired(packed: jnp.ndarray) -> jnp.ndarray:
+    """packed uint8 [in//2, out] -> int8 [in, out] in [-7, 7]
+    (adjacent-pair layout: see quantize_int4_paired)."""
+    lo, hi = _sx4(packed), _sx4(packed >> 4)
+    half, cout = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * half, cout)
+
+
+def _qmm_paired_kernel(x_ref, q_ref, s_ref, o_ref):
+    """Dequant-fused GEMV tile for the adjacent-pair int4 layout: the
+    packed uint8 block is reinterpreted as s4 in VMEM (pltpu.bitcast is a
+    no-op relayout) and widened with ONE hardware cast — no per-nibble
+    shift chain, so the dequant is no longer VPU-throughput-bound."""
+    from jax.experimental.pallas import tpu as pltpu  # local: CPU-safe import
+
+    s4 = pltpu.bitcast(q_ref[:], jnp.int4)           # [cin, bout]
+    w = s4.astype(x_ref.dtype)
+    acc = jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = acc * s_ref[:].astype(jnp.float32)
+
+
+def _paired_bout(cin: int, cout: int) -> int:
+    """Out-block width for the paired GEMV: the largest multiple of 128
+    dividing cout whose PACKED block (cin/2 x bout uint8) stays <= ~7 MB.
+
+    Measured on v5e (tools/gemv_sweep.py, 13B qkv shape): tiny 1.3 MB
+    blocks pipeline at ~370 GB/s, ~5 MB blocks at ~440 GB/s, and one
+    4-block-per-GEMV monolith falls back to 193 GB/s (first-fetch latency
+    stops being hidden) — the dequant's s4->bf16 VPU cast rate (~1 Telem/s)
+    is the real ceiling, and ~5 MB blocks keep the fetch pipeline full
+    without starving double-buffering. The bf16 staging of the widened
+    block lives on the kernel stack, so callers must raise
+    vmem_limit_bytes past the 16 MB default."""
+    best = 0
+    for bout in range(128, cout // 4 + 1, 128):
+        if cout % bout:
+            continue
+        if (cin // 2) * bout > 7 * 2**20:
+            break
+        best = bout
+    return best
+
+
+def int4_paired_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray):
+    """x [B, in] @ dequant(packed, adjacent-pair layout) -> [B, out] fp32.
+
+    Pallas one-cast dequant GEMV on TPU for decode-sized B; XLA unpack
+    fallback elsewhere. Unlike int4_native_matmul no s4 jax.Array ever
+    crosses the jit boundary (the tunneled backend RecursionErrors on
+    eager s4 buffers), so this is the production native-cast path."""
+    cin2, cout = packed.shape
+    cin = 2 * cin2
+    bout = _paired_bout(cin, cout)
+    if (
+        jax.default_backend() == "tpu" and x.ndim == 2 and x.shape[0] <= 32
+        and x.shape[1] == cin and cin % 256 == 0 and cin2 % 8 == 0 and bout
+    ):
+        b = x.shape[0]
+        bpad = (-b) % 8
+        xb = jnp.pad(x, ((0, bpad), (0, 0))) if bpad else x
+        out = pl.pallas_call(
+            _qmm_paired_kernel,
+            grid=(cout // bout,),
+            in_specs=[
+                pl.BlockSpec((xb.shape[0], cin), lambda oo: (0, 0)),
+                pl.BlockSpec((cin2, bout), lambda oo: (0, oo)),
+                pl.BlockSpec((1, bout), lambda oo: (0, oo)),
+            ],
+            out_specs=pl.BlockSpec((xb.shape[0], bout), lambda oo: (0, oo)),
+            out_shape=jax.ShapeDtypeStruct((xb.shape[0], cout), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+        )(xb, packed, scale)
+        return out[:b]
+    q = unpack_int4_paired(packed)
+    y = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
+    return y * scale.astype(jnp.float32)
+
+
 def quantize_int4_native(w: jnp.ndarray):
     """w [in, out] -> (q jnp.int4 [in, out], scale fp32 [1, out]).
 

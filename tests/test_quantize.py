@@ -173,6 +173,80 @@ def test_fused_qkv_quantized_decode_identical():
         assert cap_sep == cap_fused, bits
 
 
+def test_int4_paired_matches_halfsplit():
+    """quantize_int4_paired (adjacent-pair packing for the in-kernel
+    pltpu.bitcast) must produce the same value grid and scales as
+    quantize_int4, and the same matmul result through the XLA fallback."""
+    import jax
+    import jax.numpy as jnp
+    from supir_tpu.ops.quantize import (
+        int4_matmul, int4_paired_matmul, quantize_int4,
+        quantize_int4_paired, unpack_int4, unpack_int4_paired,
+    )
+
+    k = jax.random.PRNGKey(11)
+    w = jax.random.normal(k, (256, 128), jnp.float32)
+    packed, s1 = quantize_int4(w)
+    qp, s2 = quantize_int4_paired(w)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    # same dequantized integer grid, different byte layout
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(packed)), np.asarray(unpack_int4_paired(qp))
+    )
+    x = jax.random.normal(jax.random.PRNGKey(12), (4, 256), jnp.float32)
+    a = int4_matmul(x, packed, s1)
+    b = int4_paired_matmul(x, qp, s2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-4)
+
+
+def test_int4_paired_nibble_order():
+    """Byte i must pack row 2i in the LOW nibble and row 2i+1 in the HIGH
+    nibble — the exact in-register order pltpu.bitcast(., int4) reads on
+    TPU (verified on hardware by tools/bitcast_probe.py)."""
+    import jax.numpy as jnp
+    from supir_tpu.ops.quantize import quantize_int4_paired
+
+    # absmax 7 -> scale 1 -> quantized values are exactly the inputs
+    w = jnp.asarray([[1.0], [-2.0], [3.0], [-7.0]], jnp.float32)
+    qp, scale = quantize_int4_paired(w)
+    assert float(scale[0, 0]) == 1.0
+    b = np.asarray(qp)
+    assert b.shape == (2, 1)
+    assert b[0, 0] & 0xF == 1          # row 0 -> low nibble of byte 0
+    assert (b[0, 0] >> 4) == (-2) & 0xF  # row 1 -> high nibble of byte 0
+    assert b[1, 0] & 0xF == 3
+    assert (b[1, 0] >> 4) == (-7) & 0xF
+
+
+def test_int4_paired_dense_decode_identity():
+    """int4_paired decode == half-split decode (same grid) on the tiny
+    captioner: the layout is a pure byte-order change."""
+    import dataclasses as dc
+
+    from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig
+    from supir_tpu.captioner.llama import quantize_llama_params
+
+    cfg = CaptionerConfig.tiny()
+    agent = CaptionerAgent.create_random(cfg)
+    img = np.random.default_rng(3).integers(
+        0, 255, (cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8
+    )
+    caps = {}
+    for paired in (False, True):
+        qp, _ = quantize_llama_params(
+            agent.params["llama"], bits=4, fuse=True, paired=paired)
+        leaf = qp["model"]["layer_0"]["qkv_proj"]
+        assert ("qp" in leaf) == paired
+        a = CaptionerAgent(
+            dc.replace(cfg, llama=dc.replace(
+                cfg.llama, quantize_int4=True, fused_qkv=True,
+                int4_paired=paired)),
+            dict(agent.params, llama=qp),
+        )
+        caps[paired] = a.gen_image_caption([img], temperature=0.0)[0]
+    assert caps[True] == caps[False]
+
+
 def test_int4_native_matches_packed():
     """quantize_int4_native (jnp.int4 layout) must produce the same value
     grid as quantize_int4 and the same matmul result through the XLA

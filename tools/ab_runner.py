@@ -28,6 +28,12 @@ PROBE = (
 # (name, argv, timeout_s, extra_env) — new-information stages first so a
 # briefly-healed tunnel yields the most useful numbers before re-wedging.
 STAGES = [
+    ("captioner_int4_paired", [sys.executable, "bench.py", "--captioner"],
+     1800, None),
+    ("captioner_paired_kv8", [sys.executable, "bench.py", "--captioner",
+                              "--kv_int8"], 1800, None),
+    ("captioner_halfsplit", [sys.executable, "bench.py", "--captioner",
+                             "--int4_halfsplit"], 1800, None),
     ("int4_native_probe", [sys.executable, "tools/int4_native_probe.py"], 600,
      None),
     ("headline_cache2", [sys.executable, "bench.py", "--cache_interval", "2"],
