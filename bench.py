@@ -106,6 +106,9 @@ def main():
     ap.add_argument("--int4_halfsplit", action="store_true",
                     help="legacy half-split int4 layout (shift-pair unpack) "
                          "instead of the paired one-cast default")
+    ap.add_argument("--w4a8", action="store_true",
+                    help="W4A8 execution for --captioner int4: per-row int8 "
+                         "activations + native int8 MXU dot (same weights)")
     ap.add_argument("--int4_native", action="store_true",
                     help="native jnp.int4 weight layout for --captioner "
                          "(one-cast dequant) instead of packed uint8")
@@ -251,7 +254,8 @@ def main():
 
 
 def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
-                         int4_native: bool = False, int4_halfsplit: bool = False):
+                         int4_native: bool = False, int4_halfsplit: bool = False,
+                         w4a8: bool = False):
     """Abstract-weights captioner at 13B dims (tiny on CPU) for throughput
     work; weight VALUES are irrelevant to decode speed, so the quantized
     tree is built via eval_shape + zeros — 13B bf16 would not even fit in
@@ -331,7 +335,7 @@ def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
         llama=dc.replace(
             cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4,
             fused_qkv=True, int4_native=int4_native,
-            int4_paired=not int4_halfsplit,
+            int4_paired=not int4_halfsplit, act_int8=w4a8,
         ),
     )
     return CaptionerAgent(qcfg, params), new_tokens, model_name
@@ -356,6 +360,7 @@ def bench_captioner(args):
         bits, kv_int8=getattr(args, "kv_int8", False),
         int4_native=getattr(args, "int4_native", False),
         int4_halfsplit=getattr(args, "int4_halfsplit", False),
+        w4a8=getattr(args, "w4a8", False),
     )
 
     img = np.zeros((336, 336, 3), np.uint8)
@@ -366,8 +371,11 @@ def bench_captioner(args):
     agent.gen_image_caption([img], temperature=0.0)
     dt = time.perf_counter() - t0
     tps = new_tokens / dt
+    wtag = f"int{bits}"
+    if bits == 4 and getattr(args, "w4a8", False):
+        wtag = "int4-W4A8"
     label = (
-        f"captioner decode tokens/s (llava {model_name}, int{bits} weights, "
+        f"captioner decode tokens/s (llava {model_name}, {wtag} weights, "
         f"{new_tokens} new tokens incl. vision prefill, 1 "
         f"{jax.default_backend()} chip)"
     )

@@ -60,6 +60,12 @@ class LlamaConfig:
     # the half-split shift-pair kernel at 13B decode shapes — the
     # production int4 layout. Same [-7,7] grid as the others.
     int4_paired: bool = True
+    # W4A8 execution mode for the paired int4 layout: activations are
+    # dynamically quantized to per-row int8 and the dot runs on the MXU in
+    # native int8 (int32 accumulation) — the dequant is a narrow s4->s8
+    # widen instead of the VPU-ceiling s4->bf16 cast. Same 'qp' checkpoint
+    # params; changes numerics (activation rounding), so opt-in.
+    act_int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -126,14 +132,17 @@ class Int4Dense(nn.Module):
 class Int4PairedDense(nn.Module):
     """Dense with adjacent-pair packed 4-bit weights ({'qp','scale'}
     params, see ops/quantize.py:quantize_int4_paired). Distinct param name
-    so a half-split 'q4' checkpoint can never silently load as paired."""
+    so a half-split 'q4' checkpoint can never silently load as paired.
+    `act_int8` switches the same params to W4A8 execution (per-row int8
+    activations + native int8 MXU dot)."""
 
     features: int
     dtype: Dtype = jnp.float32
+    act_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
-        from supir_tpu.ops.quantize import int4_paired_matmul
+        from supir_tpu.ops.quantize import int4_paired_matmul, int4_w4a8_matmul
 
         qp = self.param(
             "qp",
@@ -144,9 +153,8 @@ class Int4PairedDense(nn.Module):
             "scale", nn.initializers.ones, (1, self.features), jnp.float32
         )
         lead = x.shape[:-1]
-        y = int4_paired_matmul(
-            x.reshape(-1, x.shape[-1]).astype(self.dtype), qp, scale
-        )
+        mm = int4_w4a8_matmul if self.act_int8 else int4_paired_matmul
+        y = mm(x.reshape(-1, x.shape[-1]).astype(self.dtype), qp, scale)
         return y.reshape(lead + (self.features,)).astype(self.dtype)
 
 
@@ -210,6 +218,38 @@ def _quant_kv(x):
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def _int8_kv_attention(q, kq, ks, vq, vs, bias):
+    """Attention over an int8 KV cache WITHOUT materializing bf16 K/V.
+
+    The per-(position, head) scales factor out of both dots exactly:
+      scores[b,h,i,j] = (q . kq[j]) * ks[j]      (ks scalar per j,h)
+      out[b,i,h,d]    = sum_j p[i,j] * vs[j] * vq[j,d] = (p * vs^T) @ vq
+    so the dequant is algebraically identical to dequantizing the cache
+    first, but the only [B,L,H,D]-sized HBM stream is the int8 cache
+    itself — the earlier `kq.astype(bf16) * ks` formulation materialized a
+    full bf16 K AND V (3x the bytes) and measured SLOWER than a bf16
+    cache (31.9 vs 40.2 tok/s e2e at 13B dims). The int8->bf16 convert
+    feeds the dot directly (no intervening multiply), which XLA can fuse
+    into the operand read.
+
+    q [B,s,H,D]; kq/vq [B,L,H,D] int8; ks/vs [B,L,H,1] fp32 scales;
+    bias [1,1,s,L] additive mask. Returns [B,s,H,D]."""
+    dt = q.dtype
+    scores = jnp.einsum(
+        "bshd,blhd->bhsl", q, kq.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * jnp.transpose(ks, (0, 2, 3, 1))  # [B,H,1,L]
+    scores = scores * (1.0 / np.sqrt(q.shape[-1])) + bias
+    p = jax.nn.softmax(scores, axis=-1)
+    p = p * jnp.transpose(vs, (0, 2, 3, 1))
+    out = jnp.einsum(
+        "bhsl,blhd->bshd", p.astype(dt), vq.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(dt)
 
 
 _PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
@@ -298,7 +338,10 @@ class LlamaBlock(nn.Module):
             if self.cfg.int4_native:
                 cls = Int4NativeDense
             elif self.cfg.int4_paired:
-                cls = Int4PairedDense
+                return Int4PairedDense(
+                    features, dtype=self.dtype,
+                    act_int8=self.cfg.act_int8, name=name,
+                )
             else:
                 cls = Int4Dense
             return cls(features, dtype=self.dtype, name=name)
@@ -341,8 +384,7 @@ class LlamaBlock(nn.Module):
                 ks = jax.lax.dynamic_update_slice(ks, nks.astype(ks.dtype), at)
                 vq = jax.lax.dynamic_update_slice(vq, nvq, at)
                 vs = jax.lax.dynamic_update_slice(vs, nvs.astype(vs.dtype), at)
-                k_all = kq.astype(x.dtype) * ks.astype(x.dtype)
-                v_all = vq.astype(x.dtype) * vs.astype(x.dtype)
+                k_all, v_all = (kq, ks), (vq, vs)
                 new_cache = (kq, ks, vq, vs)
             else:
                 ck, cv = cache  # [B, L, H, D]
@@ -358,14 +400,18 @@ class LlamaBlock(nn.Module):
                 out = dot_product_attention(q, k, v, causal=True, impl="auto")
             else:
                 # mask out cache positions beyond (cache_index + s)
-                lcache = k_all.shape[1]
+                lcache = (k_all[0] if isinstance(k_all, tuple) else k_all).shape[1]
                 col = jnp.arange(lcache)[None, None, None, :]
                 valid = col < (cache_index + s)
                 bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
                 row = jnp.arange(s)[None, None, :, None] + cache_index
                 causal = col <= row
                 bias = bias + jnp.where(causal, 0.0, -1e30)
-                out = dot_product_attention(q, k_all, v_all, bias=bias, impl="xla")
+                if isinstance(k_all, tuple):
+                    out = _int8_kv_attention(q, *k_all, *v_all, bias)
+                else:
+                    out = dot_product_attention(
+                        q, k_all, v_all, bias=bias, impl="xla")
         else:
             new_cache = None
             out = dot_product_attention(q, k, v, bias=attn_bias, causal=True, impl="xla")

@@ -188,6 +188,75 @@ def int4_paired_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray):
     return y * scale.astype(jnp.float32)
 
 
+def _qmm_w4a8_kernel(x_ref, q_ref, s_ref, o_ref):
+    """W4A8 GEMV tile: the packed block is bitcast to s4 and widened with a
+    NARROW 4->8 bit cast, then the dot runs on the MXU in native int8 with
+    exact int32 accumulation — no s4->bf16 widening (the ~1 Telem/s VPU
+    ceiling of the bf16 paired kernel). Weight scales fold in here; the
+    per-row activation scale folds in outside."""
+    s4 = pltpu.bitcast(q_ref[:], jnp.int4)
+    acc = jax.lax.dot_general(
+        x_ref[:], s4.astype(jnp.int8), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = acc.astype(jnp.float32) * s_ref[:].astype(jnp.float32)
+
+
+def quantize_act_int8(x: jnp.ndarray):
+    """x [B, in] float -> (xq int8 [B, in], xs fp32 [B, 1]) per-row
+    symmetric: x ~ xq * xs / 127. The dynamic activation half of W4A8."""
+    xs = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True), 1e-6
+    )
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (127.0 / xs)), -127, 127
+    ).astype(jnp.int8)
+    return xq, xs
+
+
+def int4_w4a8_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray):
+    """x [B, in] @ dequant(packed, adjacent-pair int4) -> [B, out] fp32,
+    with the activation dynamically quantized to per-row int8 (W4A8).
+
+    Same 'qp'/'scale' params as int4_paired_matmul — W4A8 is an execution
+    mode, not a checkpoint format. The integer accumulation is exact, so
+    the XLA fallback below (same int8 x, int32 dot) is bit-identical to the
+    Pallas kernel up to the final fp32 scale multiplies."""
+    cin2, cout = packed.shape
+    cin = 2 * cin2
+    xq, xs = quantize_act_int8(x)
+    bout = _paired_bout(cin, cout)
+    if (
+        jax.default_backend() == "tpu" and x.ndim == 2 and x.shape[0] <= 32
+        and x.shape[1] == cin and cin % 256 == 0 and cin2 % 8 == 0 and bout
+    ):
+        b = x.shape[0]
+        bpad = (-b) % 8
+        xb = jnp.pad(xq, ((0, bpad), (0, 0))) if bpad else xq
+        out = pl.pallas_call(
+            _qmm_w4a8_kernel,
+            grid=(cout // bout,),
+            in_specs=[
+                pl.BlockSpec((xb.shape[0], cin), lambda oo: (0, 0)),
+                pl.BlockSpec((cin2, bout), lambda oo: (0, oo)),
+                pl.BlockSpec((1, bout), lambda oo: (0, oo)),
+            ],
+            out_specs=pl.BlockSpec((xb.shape[0], bout), lambda oo: (0, oo)),
+            out_shape=jax.ShapeDtypeStruct((xb.shape[0], cout), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+        )(xb, packed, scale)[:b]
+    else:
+        q = unpack_int4_paired(packed)
+        acc = jax.lax.dot_general(
+            xq, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * scale.astype(jnp.float32)
+    return out * (xs * (1.0 / 127.0))
+
+
 def quantize_int4_native(w: jnp.ndarray):
     """w [in, out] -> (q jnp.int4 [in, out], scale fp32 [1, out]).
 

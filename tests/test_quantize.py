@@ -247,6 +247,64 @@ def test_int4_paired_dense_decode_identity():
     assert caps[True] == caps[False]
 
 
+def test_int4_w4a8_matches_emulation():
+    """int4_w4a8_matmul == exact integer-math emulation (the int8xint4
+    int32 accumulation is exact, so only the final fp32 scale multiplies
+    can differ) and stays within quantization-error distance of the float
+    paired matmul."""
+    import jax
+    import jax.numpy as jnp
+    from supir_tpu.ops.quantize import (
+        int4_paired_matmul, int4_w4a8_matmul, quantize_act_int8,
+        quantize_int4_paired, unpack_int4_paired,
+    )
+
+    k = jax.random.PRNGKey(21)
+    w = jax.random.normal(k, (256, 128), jnp.float32)
+    qp, s = quantize_int4_paired(w)
+    x = jax.random.normal(jax.random.PRNGKey(22), (3, 256), jnp.float32)
+
+    got = np.asarray(int4_w4a8_matmul(x, qp, s))
+
+    xq, xs = quantize_act_int8(x)
+    acc = np.asarray(xq, np.int64) @ np.asarray(unpack_int4_paired(qp), np.int64)
+    want = acc.astype(np.float64) * np.asarray(s) * np.asarray(xs) / 127.0
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # close to the float-activation paired result (activation rounding only)
+    ref = np.asarray(int4_paired_matmul(x, qp, s))
+    denom = np.abs(ref).mean() + 1e-9
+    assert np.abs(got - ref).mean() / denom < 0.02
+
+
+def test_w4a8_dense_decode_smoke():
+    """act_int8 execution mode decodes deterministic finite tokens through
+    the tiny captioner using the SAME 'qp' params as the float-activation
+    paired mode."""
+    import dataclasses as dc
+
+    from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig
+    from supir_tpu.captioner.llama import quantize_llama_params
+
+    cfg = CaptionerConfig.tiny()
+    agent = CaptionerAgent.create_random(cfg)
+    img = np.random.default_rng(5).integers(
+        0, 255, (cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8
+    )
+    qp, _ = quantize_llama_params(agent.params["llama"], bits=4, fuse=True)
+    caps = []
+    for _ in range(2):
+        a = CaptionerAgent(
+            dc.replace(cfg, llama=dc.replace(
+                cfg.llama, quantize_int4=True, fused_qkv=True,
+                int4_paired=True, act_int8=True)),
+            dict(agent.params, llama=qp),
+        )
+        caps.append(a.gen_image_caption([img], temperature=0.0)[0])
+    assert caps[0] == caps[1]
+    assert isinstance(caps[0], str)
+
+
 def test_int4_native_matches_packed():
     """quantize_int4_native (jnp.int4 layout) must produce the same value
     grid as quantize_int4 and the same matmul result through the XLA

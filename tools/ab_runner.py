@@ -28,12 +28,19 @@ PROBE = (
 # (name, argv, timeout_s, extra_env) — new-information stages first so a
 # briefly-healed tunnel yields the most useful numbers before re-wedging.
 STAGES = [
+    ("captioner_w4a8", [sys.executable, "bench.py", "--captioner",
+                        "--w4a8"], 1800, None),
+    ("gemv_w4a8", [sys.executable, "tools/gemv_sweep.py", "--layers", "8",
+                   "--reps", "10", "--kinds", "paired,w4a8,s4mxu",
+                   "--shapes", "qkv,gateup"], 1800, None),
+    ("captioner_w4a8_kv8fac", [sys.executable, "bench.py", "--captioner",
+                               "--w4a8", "--kv_int8"], 1800, None),
+    ("captioner_paired_kv8fac", [sys.executable, "bench.py", "--captioner",
+                                 "--kv_int8"], 1800, None),
+    # measured 2026-08-19 (single-process): paired 18.34 ms/tok decode,
+    # halfsplit 20.67, paired+materializing-kv8 SLOWER (31.9 tok/s e2e)
     ("captioner_int4_paired", [sys.executable, "bench.py", "--captioner"],
      1800, None),
-    ("captioner_paired_kv8", [sys.executable, "bench.py", "--captioner",
-                              "--kv_int8"], 1800, None),
-    ("captioner_halfsplit", [sys.executable, "bench.py", "--captioner",
-                             "--int4_halfsplit"], 1800, None),
     ("int4_native_probe", [sys.executable, "tools/int4_native_probe.py"], 600,
      None),
     ("headline_cache2", [sys.executable, "bench.py", "--cache_interval", "2"],
@@ -51,10 +58,7 @@ STAGES = [
     ("step_flash_b256_4096", [sys.executable, "tools/profile_step.py",
                               "--iters", "10", "--skip-vae"], 1500,
      {"SUPIR_FLASH_BQ": "256", "SUPIR_FLASH_BKV": "4096"}),
-    ("captioner_int4", [sys.executable, "bench.py", "--captioner"], 1200,
-     None),
-    ("captioner_int4_kv8", [sys.executable, "bench.py", "--captioner",
-                            "--kv_int8"], 1200, None),
+    ("e2e", [sys.executable, "bench.py", "--e2e"], 2400, None),
     ("vae8k", [sys.executable, "bench.py", "--vae8k"], 1200, None),
     ("batch2", [sys.executable, "bench.py", "--batch", "2"], 1500, None),
     ("full4k", [sys.executable, "bench.py", "--full4k"], 2400, None),

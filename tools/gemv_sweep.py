@@ -8,10 +8,19 @@ amortizes), weights passed as jit ARGS (a captured 6 GB constant tree
 evicted the agent params and invalidated decode_decompose's section G).
 
 Variants per shape:
-  packed   — current production kernel (uint8 half-split, shift-pair unpack)
+  packed   — uint8 half-split, shift-pair unpack (legacy production)
+  paired   — adjacent-pair uint8 + in-kernel bitcast, ONE s4->bf16 cast
   native   — Pallas s4 block + one hardware s4->bf16 cast
   xla_s4   — plain jnp.dot(x, q.astype(bf16)) on an s4 array (XLA fusion)
   int8     — int8 kernel (2x the bytes, no nibble work) for reference
+  w4a8     — paired layout, s4->s8 cast (narrow VPU op) + NATIVE int8 MXU
+             dot; activation dynamically quantized to int8 per call. If the
+             s4->bf16 widening cast is the ~1 Telem/s ceiling, this should
+             clear it: the MXU eats s8 directly and the VPU only does a
+             4->8 bit widen.
+  s4mxu    — paired layout, s4 operand handed STRAIGHT to dot_general
+             (int8 activations, s4 weights) — probes whether Mosaic can
+             feed the MXU sub-byte operands with no VPU cast at all.
 
 Run: python tools/gemv_sweep.py [--layers 8] [--reps 20]
 """
@@ -30,7 +39,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import jax.experimental.pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 D, HID = 5120, 13824
+
+
+def _w4a8_kernel(x_ref, q_ref, s_ref, o_ref, *, direct):
+    s4 = pltpu.bitcast(q_ref[:], jnp.int4)
+    w = s4 if direct else s4.astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = acc.astype(jnp.float32) * s_ref[:].astype(jnp.float32)
+
+
+def w4a8_matmul(xq, packed, scale, direct=False):
+    """xq [B, cin] int8 @ paired-packed s4 -> [B, cout] fp32 (pre-activation
+    scale; caller multiplies the activation scale back in)."""
+    from supir_tpu.ops.quantize import _paired_bout
+
+    cin2, cout = packed.shape
+    cin = 2 * cin2
+    bout = _paired_bout(cin, cout)
+    b = xq.shape[0]
+    bpad = (-b) % 8
+    xb = jnp.pad(xq, ((0, bpad), (0, 0))) if bpad else xq
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, direct=direct),
+        grid=(cout // bout,),
+        in_specs=[
+            pl.BlockSpec((xb.shape[0], cin), lambda oo: (0, 0)),
+            pl.BlockSpec((cin2, bout), lambda oo: (0, oo)),
+            pl.BlockSpec((1, bout), lambda oo: (0, oo)),
+        ],
+        out_specs=pl.BlockSpec((xb.shape[0], bout), lambda oo: (0, oo)),
+        out_shape=jax.ShapeDtypeStruct((xb.shape[0], cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(xb, packed, scale)
+    return out[:b]
 SHAPES = {
     "qkv":    (D, 3 * D),
     "gateup": (D, 2 * HID),
@@ -75,6 +123,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--kinds", default="paired,w4a8,s4mxu,packed,native,"
+                    "xla_s4,int8", help="comma list of variants to time")
+    ap.add_argument("--shapes", default="qkv,gateup,down,o")
     args = ap.parse_args()
 
     from supir_tpu.ops.quantize import (
@@ -89,7 +140,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def mk(cin, cout, kind):
-        if kind in ("packed", "paired"):
+        if kind in ("packed", "paired", "w4a8", "s4mxu"):
             return {
                 "q4": jax.random.randint(key, (L, cin // 2, cout), 0, 255, jnp.int32).astype(jnp.uint8),
                 "scale": jnp.ones((L, 1, cout), jnp.float32),
@@ -116,11 +167,23 @@ def main():
                 jnp.dot(x, w["qn"].astype(x.dtype),
                         preferred_element_type=jnp.float32)
                 * w["scale"].astype(jnp.float32))
+        if kind in ("w4a8", "s4mxu"):
+            def mm(x, w, direct=(kind == "s4mxu")):
+                # dynamic per-call activation quant (the real path pays this)
+                xs = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / xs * 127.0), -127, 127
+                ).astype(jnp.int8)
+                y = w4a8_matmul(xq, w["q4"], w["scale"], direct=direct)
+                return y * (xs.astype(jnp.float32) / 127.0)
+            return mm
         return lambda x, w: int8_matmul(x, w["q"], w["scale"])
 
     for name, (cin, cout) in SHAPES.items():
+        if name not in args.shapes.split(","):
+            continue
         gb = cin * cout * L / 2 / 1e9  # int4 bytes
-        for kind in ("packed", "paired", "native", "xla_s4", "int8"):
+        for kind in args.kinds.split(","):
             bytes_gb = gb * (2 if kind == "int8" else 1)
             try:
                 ws = mk(cin, cout, kind)
