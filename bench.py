@@ -106,6 +106,12 @@ def main():
     ap.add_argument("--int4_halfsplit", action="store_true",
                     help="legacy half-split int4 layout (shift-pair unpack) "
                          "instead of the paired one-cast default")
+    ap.add_argument("--head_int8", action="store_true",
+                    help="int8 per-out-channel lm_head for --captioner "
+                         "(halves the 0.33 GB/token bf16 head stream)")
+    ap.add_argument("--no_fused_glue", action="store_true",
+                    help="disable the fused norm/siluglu/residual GEMV "
+                         "kernels for --captioner (A/B the glue fusion)")
     ap.add_argument("--w4a8", action="store_true",
                     help="W4A8 execution for --captioner int4: per-row int8 "
                          "activations + native int8 MXU dot (same weights)")
@@ -255,7 +261,8 @@ def main():
 
 def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
                          int4_native: bool = False, int4_halfsplit: bool = False,
-                         w4a8: bool = False):
+                         w4a8: bool = False, fused_glue: bool = True,
+                         head_int8: bool = False):
     """Abstract-weights captioner at 13B dims (tiny on CPU) for throughput
     work; weight VALUES are irrelevant to decode speed, so the quantized
     tree is built via eval_shape + zeros — 13B bf16 would not even fit in
@@ -316,6 +323,14 @@ def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
         # quantize_llama_params(fuse=True)
         if not isinstance(node, dict):
             return zeros(node)
+        if head_int8 and "lm_head" in node:
+            cin, cout = node["lm_head"]["Dense_0"]["kernel"].shape
+            out = {k: quantized(v) for k, v in node.items() if k != "lm_head"}
+            out["lm_head"] = {
+                "q": jnp.zeros((cin, cout), jnp.int8),
+                "scale": jnp.ones((1, cout), jnp.float32),
+            }
+            return out
         if all(p in node for p in _PROJ_NAMES):
             out = {k: quantized(v) for k, v in node.items() if k not in _PROJ_NAMES}
             shp = lambda n: node[n]["Dense_0"]["kernel"].shape
@@ -336,6 +351,7 @@ def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
             cfg.llama, quantize_int8=bits == 8, quantize_int4=bits == 4,
             fused_qkv=True, int4_native=int4_native,
             int4_paired=not int4_halfsplit, act_int8=w4a8,
+            fused_glue=fused_glue, head_int8=head_int8,
         ),
     )
     return CaptionerAgent(qcfg, params), new_tokens, model_name
@@ -361,6 +377,8 @@ def bench_captioner(args):
         int4_native=getattr(args, "int4_native", False),
         int4_halfsplit=getattr(args, "int4_halfsplit", False),
         w4a8=getattr(args, "w4a8", False),
+        fused_glue=not getattr(args, "no_fused_glue", False),
+        head_int8=getattr(args, "head_int8", False),
     )
 
     img = np.zeros((336, 336, 3), np.uint8)

@@ -66,6 +66,16 @@ class LlamaConfig:
     # widen instead of the VPU-ceiling s4->bf16 cast. Same 'qp' checkpoint
     # params; changes numerics (activation rounding), so opt-in.
     act_int8: bool = False
+    # fold the decode glue (RMSNorm prologues, SiLU-GLU, residual adds)
+    # into the paired-int4 GEMV kernels: 4 launches per block with NO XLA
+    # fusions between them except rotary/cache/attention. Identical param
+    # tree (the shim modules declare the same names at the same paths) and
+    # exactly the same math on the CPU fallback. Needs int4_paired+fused_qkv.
+    fused_glue: bool = True
+    # int8 per-out-channel lm_head (quantize_llama_params head_int8=True):
+    # halves the 0.33 GB/token bf16 head stream at 13B dims. Opt-in — it
+    # perturbs logits directly (the reference keeps the head fp16).
+    head_int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -220,6 +230,35 @@ def _quant_kv(x):
     return q, scale
 
 
+class _NormScaleParam(nn.Module):
+    """Declares RMSNorm's 'weight' param at the SAME path as RMSNorm (give
+    it the norm's name) and returns it — the fused-glue path folds the
+    norm into the GEMV kernel, so the block needs the gamma VALUE, not the
+    module application. Checkpoints are layout-identical either way."""
+
+    @nn.compact
+    def __call__(self, dim):
+        return self.param("weight", nn.initializers.ones, (dim,), jnp.float32)
+
+
+class _Int4PairedParams(nn.Module):
+    """Declares Int4PairedDense's {'qp','scale'} at the same path (same
+    name) and returns them for fused-kernel consumption."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin):
+        qp = self.param(
+            "qp", lambda k, s: jnp.zeros(s, jnp.uint8),
+            (cin // 2, self.features),
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (1, self.features), jnp.float32
+        )
+        return qp, scale
+
+
 def _int8_kv_attention(q, kq, ks, vq, vs, bias):
     """Attention over an int8 KV cache WITHOUT materializing bf16 K/V.
 
@@ -256,7 +295,8 @@ _PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "
 
 
 def quantize_llama_params(params, bits: int = 8, fuse: bool = False,
-                          native: bool = False, paired: bool = True):
+                          native: bool = False, paired: bool = True,
+                          head_int8: bool = False):
     """fp llama params -> int8/int4 layout (LlamaConfig quantize_int8 /
     quantize_int4): every block projection's Dense_0/kernel becomes
     {'q','scale'} (8-bit) or {'q4','scale'} (packed 4-bit). With
@@ -265,10 +305,12 @@ def quantize_llama_params(params, bits: int = 8, fuse: bool = False,
     per-out-channel scales make the merged result bit-identical to the
     separate quantizations. Returns (new_params, bytes_saved).
 
-    The lm_head kernel is cast to bf16 (not int-quantized: bitsandbytes
-    keeps lm_head in fp16 too, and the reference serves the whole model
-    fp16, builder.py:26-148) — an fp32 head kernel alone reads 0.66 GB
-    per decoded token."""
+    The lm_head kernel is cast to bf16 by default (bitsandbytes keeps
+    lm_head in fp16 too, and the reference serves the whole model fp16,
+    builder.py:26-148) — an fp32 head kernel alone reads 0.66 GB per
+    decoded token. head_int8=True quantizes it per-out-channel int8
+    instead (LlamaConfig.head_int8), halving the remaining 0.33 GB/token
+    head stream; opt-in because it perturbs the logits themselves."""
     from supir_tpu.ops.quantize import (
         quantize_int4, quantize_int4_native, quantize_int4_paired,
         quantize_int8,
@@ -317,11 +359,16 @@ def quantize_llama_params(params, bits: int = 8, fuse: bool = False,
             if k in _PROJ_NAMES and isinstance(v, dict) and "Dense_0" in v:
                 out[k] = one(np.asarray(v["Dense_0"]["kernel"], np.float32))
             elif k == "lm_head":
-                out[k] = jax.tree_util.tree_map(
-                    lambda a: jnp.asarray(a, jnp.bfloat16)
-                    if getattr(a, "ndim", 0) == 2 else a,
-                    v,
-                )
+                if head_int8 and isinstance(v, dict) and "Dense_0" in v:
+                    q, scale = quantize_int8(
+                        jnp.asarray(v["Dense_0"]["kernel"], jnp.float32))
+                    out[k] = {"q": q, "scale": scale}
+                else:
+                    out[k] = jax.tree_util.tree_map(
+                        lambda a: jnp.asarray(a, jnp.bfloat16)
+                        if getattr(a, "ndim", 0) == 2 else a,
+                        v,
+                    )
             else:
                 out[k] = walk(v)
         return out
@@ -349,22 +396,43 @@ class LlamaBlock(nn.Module):
             return Int8Dense(features, dtype=self.dtype, name=name)
         return Dense(features, use_bias=False, dtype=self.dtype, name=name)
 
+    @property
+    def _use_fused_glue(self):
+        c = self.cfg
+        return (c.quantize_int4 and c.int4_paired and not c.int4_native
+                and c.fused_glue and c.fused_qkv)
+
     @nn.compact
     def __call__(self, x, cos, sin, cache=None, cache_index=None, attn_bias=None):
         c = self.cfg
         hd = c.head_dim
         b, s, _ = x.shape
+        fused = self._use_fused_glue
+        if fused:
+            from supir_tpu.ops.quantize import int4_paired_fused_matmul
 
-        h = RMSNorm(c.rms_eps, dtype=self.dtype, name="input_norm")(x)
-        if c.fused_qkv:
-            qkv = self._dense(hd * (c.heads + 2 * c.kv_heads), "qkv_proj")(h)
+            x2 = x.reshape(b * s, c.dim)
+            g1 = _NormScaleParam(name="input_norm")(c.dim)
+            qp, sc = _Int4PairedParams(
+                hd * (c.heads + 2 * c.kv_heads), name="qkv_proj")(c.dim)
+            qkv = int4_paired_fused_matmul(
+                x2.astype(self.dtype), qp, sc, gamma=g1, eps=c.rms_eps,
+                act_int8=c.act_int8,
+            ).reshape(b, s, -1).astype(self.dtype)
             q = qkv[..., : c.heads * hd]
             k = qkv[..., c.heads * hd : hd * (c.heads + c.kv_heads)]
             v = qkv[..., hd * (c.heads + c.kv_heads) :]
         else:
-            q = self._dense(c.heads * hd, "q_proj")(h)
-            k = self._dense(c.kv_heads * hd, "k_proj")(h)
-            v = self._dense(c.kv_heads * hd, "v_proj")(h)
+            h = RMSNorm(c.rms_eps, dtype=self.dtype, name="input_norm")(x)
+            if c.fused_qkv:
+                qkv = self._dense(hd * (c.heads + 2 * c.kv_heads), "qkv_proj")(h)
+                q = qkv[..., : c.heads * hd]
+                k = qkv[..., c.heads * hd : hd * (c.heads + c.kv_heads)]
+                v = qkv[..., hd * (c.heads + c.kv_heads) :]
+            else:
+                q = self._dense(c.heads * hd, "q_proj")(h)
+                k = self._dense(c.kv_heads * hd, "k_proj")(h)
+                v = self._dense(c.kv_heads * hd, "v_proj")(h)
         q = apply_rotary(q.reshape(b, s, c.heads, hd), cos, sin)
         k = apply_rotary(k.reshape(b, s, c.kv_heads, hd), cos, sin)
         v = v.reshape(b, s, c.kv_heads, hd)
@@ -417,6 +485,28 @@ class LlamaBlock(nn.Module):
             out = dot_product_attention(q, k, v, bias=attn_bias, causal=True, impl="xla")
 
         out = out.reshape(b, s, c.heads * hd)
+        if fused:
+            # o_proj + residual, then norm+gateup, then siluglu+down+residual
+            # — each ONE kernel launch; the fp32 residual stream never
+            # round-trips through extra XLA fusions between launches.
+            xr = int4_paired_fused_matmul(
+                out.reshape(b * s, -1).astype(self.dtype),
+                *_Int4PairedParams(c.dim, name="o_proj")(c.heads * hd),
+                residual=x2, act_int8=c.act_int8,
+            )
+            g2 = _NormScaleParam(name="post_norm")(c.dim)
+            gu = int4_paired_fused_matmul(
+                xr.astype(self.dtype),
+                *_Int4PairedParams(2 * c.hidden_dim, name="gateup_proj")(c.dim),
+                gamma=g2, eps=c.rms_eps, act_int8=c.act_int8,
+            )
+            xr = int4_paired_fused_matmul(
+                gu.astype(self.dtype),
+                *_Int4PairedParams(c.dim, name="down_proj")(c.hidden_dim),
+                siluglu=True, residual=xr, act_int8=c.act_int8,
+            )
+            return xr.reshape(b, s, c.dim).astype(self.dtype), new_cache
+
         x = x + self._dense(c.dim, "o_proj")(out)
 
         h = RMSNorm(c.rms_eps, dtype=self.dtype, name="post_norm")(x)
@@ -466,7 +556,11 @@ class LlamaForCausalLM(nn.Module):
             param_dtype=jnp.float32, name="embed_tokens",
         )
         self.model = LlamaModel(self.cfg, dtype=self.dtype)
-        self.lm_head = Dense(self.cfg.vocab_size, use_bias=False, dtype=self.dtype)
+        if self.cfg.head_int8:
+            self.lm_head = Int8Dense(self.cfg.vocab_size, dtype=self.dtype)
+        else:
+            self.lm_head = Dense(
+                self.cfg.vocab_size, use_bias=False, dtype=self.dtype)
 
     def embed(self, ids):
         return self.embed_tokens(ids)

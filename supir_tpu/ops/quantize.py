@@ -257,6 +257,144 @@ def int4_w4a8_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray):
     return out * (xs * (1.0 / 127.0))
 
 
+def _qmm_fused_kernel(*refs, norm: bool, siluglu: bool, residual: bool,
+                      act_int8: bool, eps: float, xdtype):
+    """Paired-int4 GEMV with the decode glue folded in (one launch instead
+    of launch + 2-4 XLA fusions between launches):
+      prologue: RMSNorm (gamma) | SiLU-GLU (h = silu(x[:, :half])*x[:, half:])
+      body:     one-cast s4 dequant dot (bf16) or in-kernel per-row int8
+                activation quant + native int8 MXU dot (W4A8)
+      epilogue: weight/activation scales (+ residual add)
+    The prologue recomputes per grid step on a [B, cin]-sized block — a few
+    hundred KB of VPU work against MBs of weight streaming per step."""
+    i = 0
+    x_ref = refs[i]; i += 1
+    g_ref = None
+    if norm:
+        g_ref = refs[i]; i += 1
+    q_ref, s_ref = refs[i], refs[i + 1]; i += 2
+    r_ref = None
+    if residual:
+        r_ref = refs[i]; i += 1
+    o_ref = refs[i]
+
+    xf = x_ref[:].astype(jnp.float32)
+    if norm:
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        xf = xf * g_ref[:].astype(jnp.float32)
+    elif siluglu:
+        half = xf.shape[-1] // 2
+        a = xf[:, :half]
+        xf = (a * jax.nn.sigmoid(a)) * xf[:, half:]
+
+    s4 = pltpu.bitcast(q_ref[:], jnp.int4)
+    if act_int8:
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
+        xq = jnp.clip(jnp.round(xf * (127.0 / xs)), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, s4.astype(jnp.int8), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (xs * (1.0 / 127.0))
+    else:
+        acc = jax.lax.dot_general(
+            xf.astype(xdtype), s4.astype(xdtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc = acc * s_ref[:].astype(jnp.float32)
+    if residual:
+        acc = acc + r_ref[:].astype(jnp.float32)
+    o_ref[:] = acc
+
+
+def int4_paired_fused_matmul(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    gamma: jnp.ndarray | None = None,
+    eps: float = 1e-6,
+    siluglu: bool = False,
+    residual: jnp.ndarray | None = None,
+    act_int8: bool = False,
+):
+    """Fused decode projection for the paired-int4 layout.
+
+    x [B, cin] (or [B, 2*cin] when siluglu) float; optional RMSNorm
+    prologue with `gamma` [cin]; optional SiLU-GLU prologue (mutually
+    exclusive with gamma); optional residual [B, cout] added in fp32;
+    act_int8 switches the dot to W4A8. Returns [B, cout] fp32. The XLA
+    fallback composes the identical math op-by-op, so CPU tests pin the
+    kernel semantics; on CPU (fp32 activations) fused == unfused exactly."""
+    assert not (gamma is not None and siluglu)
+    cin2, cout = packed.shape
+    cin = 2 * cin2
+    xin = 2 * cin if siluglu else cin
+    bout = _paired_bout(cin, cout)
+    xdtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    if (
+        jax.default_backend() == "tpu" and x.ndim == 2 and x.shape[0] <= 32
+        and x.shape[1] == xin and cin % 256 == 0 and cin2 % 8 == 0 and bout
+    ):
+        b = x.shape[0]
+        bpad = (-b) % 8
+        xb = jnp.pad(x, ((0, bpad), (0, 0))) if bpad else x
+        bb = xb.shape[0]
+        norm = gamma is not None
+        inputs = [xb]
+        in_specs = [pl.BlockSpec((bb, xin), lambda oo: (0, 0))]
+        if norm:
+            inputs.append(gamma.reshape(1, cin))
+            in_specs.append(pl.BlockSpec((1, cin), lambda oo: (0, 0)))
+        inputs += [packed, scale]
+        in_specs += [
+            pl.BlockSpec((cin2, bout), lambda oo: (0, oo)),
+            pl.BlockSpec((1, bout), lambda oo: (0, oo)),
+        ]
+        if residual is not None:
+            rb = jnp.pad(residual, ((0, bpad), (0, 0))) if bpad else residual
+            inputs.append(rb)
+            in_specs.append(pl.BlockSpec((bb, bout), lambda oo: (0, oo)))
+        out = pl.pallas_call(
+            functools.partial(
+                _qmm_fused_kernel, norm=norm, siluglu=siluglu,
+                residual=residual is not None, act_int8=act_int8, eps=eps,
+                xdtype=xdtype,
+            ),
+            grid=(cout // bout,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bb, bout), lambda oo: (0, oo)),
+            out_shape=jax.ShapeDtypeStruct((bb, cout), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+        )(*inputs)
+        return out[:b]
+
+    xf = x.astype(jnp.float32)
+    if gamma is not None:
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        xf = xf * gamma.astype(jnp.float32)
+    elif siluglu:
+        a = xf[:, :cin]
+        xf = (a * jax.nn.sigmoid(a)) * xf[:, cin:]
+    if act_int8:
+        xq, xs = quantize_act_int8(xf)
+        acc = jax.lax.dot_general(
+            xq, unpack_int4_paired(packed), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (xs * (1.0 / 127.0))
+    else:
+        acc = jnp.dot(
+            xf.astype(xdtype),
+            unpack_int4_paired(packed).astype(xdtype),
+            preferred_element_type=jnp.float32,
+        )
+    out = acc * scale.astype(jnp.float32)
+    if residual is not None:
+        out = out + residual.astype(jnp.float32)
+    return out
+
+
 def quantize_int4_native(w: jnp.ndarray):
     """w [in, out] -> (q jnp.int4 [in, out], scale fp32 [1, out]).
 

