@@ -363,14 +363,18 @@ def bench_captioner(args):
     Reference path: llava_agent.py:65-103 with builder.py:29-38 bitsandbytes
     quantization.
 
-    Roofline (int4, measured 2026-08-17): decode streams ~7.7 GB/token
-    (6.35 GB int4 block weights + ~1.0 GB bf16 KV at cache_len 1280 +
-    0.33 GB bf16 lm_head) => 9.4 ms/token at the v5e's 819 GB/s, i.e.
-    ~106 tok/s speed of light. Measured decode: 18.7 ms/token (53.5 tok/s,
-    ~50% of SoL; residual = 160 Pallas GEMV launches/token + scan/epilogue
-    overhead). The metric below is END-TO-END caption tok/s (vision 0.11 s
-    jitted + prefill + 64-token decode + host stop-checks): 36.8 tok/s vs
-    15.1 in round 2."""
+    Roofline (int4): decode streams ~7.7 GB/token (6.35 GB int4 block
+    weights + ~1.0 GB bf16 KV at cache_len 1280 + 0.33 GB bf16 lm_head)
+    => 9.4 ms/token at the v5e's 819 GB/s, ~106 tok/s speed of light.
+    Measured decode (2026-08-19, single process on the chip): 13.00
+    ms/token default (paired int4 layout + fused glue, 73% of SoL; 12.83
+    with --kv_int8's factorized int8 cache = 69% of its smaller bound;
+    13.50 --no_fused_glue; 16.36 --w4a8 — the int8-MXU GEMV LOSES to the
+    one-cast bf16 dequant at these shapes, kept opt-in; the round-3
+    half-split layout measured 18.7). The metric below is END-TO-END
+    caption tok/s (vision 0.11 s jitted + prefill + 64-token decode with
+    depth-1 dispatch-ahead + host stop-checks): 44.2 tok/s vs 36.8 in
+    round 3 and 15.1 in round 2."""
     bits = args.bits
     agent, new_tokens, model_name = make_captioner_agent(
         bits, kv_int8=getattr(args, "kv_int8", False),

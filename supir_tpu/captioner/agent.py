@@ -327,14 +327,36 @@ class CaptionerAgent:
         tok = first_tok
         n = 1
         yield np.stack(outs, axis=1), np.minimum(stop_at, n)
-        while n < cfg.max_new_tokens and not done.all():
-            pos0 = jnp.full((b,), plen + n - 1, jnp.int32)
+
+        # Depth-1 dispatch-ahead: the next chunk depends only on DEVICE
+        # values (last token + caches), so it is enqueued before the
+        # previous chunk's host readback — the ~33 ms tunnel round trip and
+        # the host-side EOS/keyword scan overlap chunk i+1's compute
+        # instead of idling the chip. Token-identical to the serial loop
+        # (same rng split order); on an early stop at most one speculative
+        # chunk is discarded.
+        n_disp = 1  # tokens covered by dispatched chunks (incl. first)
+        pending = []
+
+        def dispatch():
+            nonlocal tok, n_disp, rng, caches
+            pos0 = jnp.full((b,), plen + n_disp - 1, jnp.int32)
             rng, sub = jax.random.split(rng)
             toks, caches = decode_chunk(
                 self.params, tok, pos0, caches, sub,
                 jnp.float32(temperature), jnp.float32(top_p),
             )
             tok = toks[-1]
+            pending.append(toks)
+            n_disp += toks.shape[0]
+
+        if n < cfg.max_new_tokens and not done.all():
+            dispatch()
+        while pending:
+            if (n_disp < cfg.max_new_tokens and not done.all()
+                    and len(pending) < 2):
+                dispatch()
+            toks = pending.pop(0)
             prev_n = n
             for row in np.asarray(toks):  # [chunk, B]
                 if n >= cfg.max_new_tokens:
@@ -346,6 +368,8 @@ class CaptionerAgent:
                     break
             check_keywords(prev_n)
             yield np.stack(outs, axis=1), np.minimum(stop_at, n)
+            if done.all() or n >= cfg.max_new_tokens:
+                break
 
     def _decode_tokens(
         self, first_tok, plen: int, caches, seed: int,

@@ -98,9 +98,13 @@ def timeit(f, *args, reps=20, warm=2):
     return (time.perf_counter() - t0) / reps
 
 
-def chained(mm, cin, layers):
+def chained(mm, cin, layers, inner=1):
     """scan over L weight copies; output folded back to a [1,cin] carry so
-    layers stay data-dependent."""
+    layers stay data-dependent. `inner` wraps the scan in an on-device
+    fori_loop so ONE dispatch covers inner*L GEMVs — the 33 ms fixed
+    tunnel dispatch+sync cost needs >=100 ms of device work amortized
+    behind one readback or every number is RTT noise (the carry feeds
+    through so XLA LICM can't hoist the loop body)."""
 
     @jax.jit
     def run(x, ws):
@@ -113,8 +117,11 @@ def chained(mm, cin, layers):
             r = r.at[:, :n].set(y[:, :n])
             return r.astype(jnp.bfloat16), None
 
-        x, _ = jax.lax.scan(body, x, ws)
-        return x
+        def outer(_, x):
+            x, _ = jax.lax.scan(body, x, ws)
+            return x
+
+        return jax.lax.fori_loop(0, inner, outer, x)
 
     return run
 
@@ -126,6 +133,9 @@ def main():
     ap.add_argument("--kinds", default="paired,w4a8,s4mxu,packed,native,"
                     "xla_s4,int8", help="comma list of variants to time")
     ap.add_argument("--shapes", default="qkv,gateup,down,o")
+    ap.add_argument("--inner", type=int, default=8,
+                    help="on-device fori_loop reps per dispatch (RTT "
+                         "amortization; inner*layers GEMVs per readback)")
     args = ap.parse_args()
 
     from supir_tpu.ops.quantize import (
@@ -187,9 +197,9 @@ def main():
             bytes_gb = gb * (2 if kind == "int8" else 1)
             try:
                 ws = mk(cin, cout, kind)
-                run = chained(mm_of(kind), cin, L)
+                run = chained(mm_of(kind), cin, L, inner=args.inner)
                 x0 = jnp.zeros((1, cin), jnp.bfloat16)
-                dt = timeit(run, x0, ws, reps=args.reps)
+                dt = timeit(run, x0, ws, reps=args.reps) / args.inner
                 per = dt / L * 1e3
                 print(f"  {name:7s} {kind:7s} {per:7.3f} ms/gemv  "
                       f"{bytes_gb/dt:5.0f} GB/s ({bytes_gb/dt/819*100:4.0f}%)")
