@@ -262,7 +262,7 @@ def main():
 def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
                          int4_native: bool = False, int4_halfsplit: bool = False,
                          w4a8: bool = False, fused_glue: bool = True,
-                         head_int8: bool = False):
+                         head_int8: bool = False, cache_len: int = 1280):
     """Abstract-weights captioner at 13B dims (tiny on CPU) for throughput
     work; weight VALUES are irrelevant to decode speed, so the quantized
     tree is built via eval_shape + zeros — 13B bf16 would not even fit in
@@ -276,7 +276,7 @@ def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         cfg = CaptionerConfig.from_hf_config({})  # llava-v1.5-13b dims
-        cfg = dc.replace(cfg, max_new_tokens=new_tokens, cache_len=1280)
+        cfg = dc.replace(cfg, max_new_tokens=new_tokens, cache_len=cache_len)
         model_name = "13B"
     else:
         cfg = CaptionerConfig.tiny()
@@ -489,10 +489,20 @@ def bench_e2e(args):
         cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
         param_dtype=jnp.bfloat16 if on_tpu else None,
     )
+    # One chip must hold the full bf16 SDXL engine AND the 13B captioner
+    # (the reference spreads them over two GPUs, test.py:10-17) — the e2e
+    # bench therefore defaults to the memory-lean captioner execution
+    # modes: int8 KV (also the fastest measured decode), int8 lm_head, and
+    # a cache_len sized to the caption budget instead of the serving 1280.
+    # bf16-KV e2e OOMed the 16 GB chip right at the captioner prefill.
+    plen_budget = 576 + 128  # image patches + prompt upper bound
+    clen = min(1280, ((plen_budget + cap_tokens + 127) // 128) * 128)
     agent, cap_tokens, model_name = make_captioner_agent(
         args.bits, new_tokens=cap_tokens,
-        kv_int8=getattr(args, "kv_int8", False),
+        kv_int8=True,
         int4_native=getattr(args, "int4_native", False),
+        head_int8=True,
+        cache_len=clen if on_tpu else 1280,
     )
 
     rng = jax.random.PRNGKey(1)
