@@ -135,10 +135,14 @@ def main():
                          "stops at stop_str, typically 100-200 tokens of a "
                          "512 max; random weights never emit a stop, so a "
                          "representative fixed budget is timed instead)")
-    ap.add_argument("--probe_wait", type=float, default=1500.0,
-                    help="seconds to wait for a wedged remote-TPU tunnel "
-                         "before giving up (0 = no probe); prevents an "
-                         "unattended run from hanging forever")
+    ap.add_argument("--probe_wait", type=float, default=5400.0,
+                    help="seconds to keep re-probing a wedged remote-TPU "
+                         "tunnel before giving up (0 = no probe). Round 4's "
+                         "tunnel outage outlasted the old 1500 s default and "
+                         "cost the round its driver-captured numbers — the "
+                         "probe loop now spans the driver's whole bench "
+                         "window; it never hangs (subprocess probes), and "
+                         "exits 2 if the tunnel stays dead")
     args = ap.parse_args()
 
     import os as _os
@@ -242,7 +246,8 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(TARGET_SECONDS / dt, 3),
             }
-        )
+        ),
+        flush=True,
     )
     # one-line MFU estimate for the sampler loop (dominant term; v5e bf16
     # peak 197 TF/s) — stderr so the driver's JSON line stays clean
@@ -406,7 +411,7 @@ def bench_captioner(args):
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": 0.0,
-    }))
+    }), flush=True)
     print(f"caption wall: {dt:.2f}s for {new_tokens} tokens "
           f"(compile+warm {t_compile:.1f}s)", file=sys.stderr)
 
@@ -465,7 +470,9 @@ def bench_captioner(args):
 
 def bench_e2e(args):
     """TRUE per-image wall clock, the reference's whole per-image loop
-    (test.py:81-105): stage-1 denoise at 512 px -> LLaVA caption ->
+    (test.py:81-105): stage-1 denoise at 512 px -> LLaVA caption -> text
+    conditioning through BOTH CLIP towers (reference test.py:98 ->
+    SUPIR_model.prepare_condition -> encoders/modules.py:176-190) ->
     full-res 50-step sample -> decode -> wavelet fix, all on ONE chip
     (the reference needs two GPUs for this). Captioner is 13B int4 with
     fused GEMVs (`--bits`), caption budget `--caption_tokens` (the
@@ -474,19 +481,21 @@ def bench_e2e(args):
     timed; scale linearly for other lengths)."""
     from supir_tpu.config import SUPIRConfig
     from supir_tpu.engine.factory import create_engine, tiny_test_config
+    from supir_tpu.models.embedders import ConditionerConfig
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         cfg = SUPIRConfig(ae_dtype="bf16", diffusion_dtype="bf16")
         size, steps = args.size, args.steps
         cap_tokens = args.caption_tokens
+        cond_cfg = ConditionerConfig()  # full CLIP-L + bigG text towers
     else:
-        cfg, _ = tiny_test_config()
+        cfg, cond_cfg = tiny_test_config()
         size, steps = 128, min(args.steps, 2)
         cap_tokens = 8
 
     engine = create_engine(
-        cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
+        cfg, cond_cfg=cond_cfg, rng=jax.random.PRNGKey(0), image_size=64,
         param_dtype=jnp.bfloat16 if on_tpu else None,
     )
     # One chip must hold the full bf16 SDXL engine AND the 13B captioner
@@ -509,12 +518,8 @@ def bench_e2e(args):
     x = jax.random.uniform(rng, (1, size, size, 3), jnp.float32, -1.0, 1.0)
     s1 = min(512, size)
     x_512 = jax.image.resize(x, (1, s1, s1, 3), "bilinear")
-    lat = size // cfg.vae.downscale_factor
-    c = {
-        "crossattn": jax.random.normal(rng, (1, 77, cfg.unet.context_dim), jnp.float32),
-        "vector": jax.random.normal(rng, (1, cfg.unet.adm_in_channels), jnp.float32),
-    }
-    uc = dict(c)
+    vocab = cond_cfg.clip_l.vocab_size
+    uc_tok = np.zeros((1, 77), np.int32)  # fixed negative prompt
     phases = {}
 
     def run(seed, record=False):
@@ -535,8 +540,18 @@ def bench_e2e(args):
         # exactly like the reference's batchify_sample on the full image)
         t0 = time.perf_counter()
         z = engine.encode_first_stage_with_denoise(x)
-        cc = dict(c, control=z)
-        uu = dict(uc, control=z)
+        # text conditioning through the real towers, per image (reference
+        # test.py:98 encodes the caption every image; tokenization is
+        # host-side string work — the tower compute is what is timed here.
+        # Token IDS vary per image like real captions would, so the cached
+        # path cannot shortcut the towers)
+        tok = np.random.default_rng(seed).integers(
+            0, vocab, (1, 77)).astype(np.int32)
+        cc, uu = engine.prepare_condition(z, tok, tok, uc_tok, uc_tok)
+        if record:
+            jax.device_get(cc["vector"][0, 0])
+            phases["encode+condition(2 towers)"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
         out = engine.batchify_sample(
             x, cc, uu, num_steps=steps, restoration_scale=4.0, cfg_scale=4.0,
             use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,
@@ -554,8 +569,8 @@ def bench_e2e(args):
     dt = time.perf_counter() - t0
     label = (
         f"sec/image {size}px E2E incl. captioner (stage1@{s1} + llava "
-        f"{model_name} int{args.bits} {cap_tokens}-token caption + "
-        f"{steps}-step sample + decode + colorfix, 1 "
+        f"{model_name} int{args.bits} {cap_tokens}-token caption + CLIP-L/"
+        f"bigG text cond + {steps}-step sample + decode + colorfix, 1 "
         f"{jax.default_backend()} chip)"
     )
     print(json.dumps({
@@ -563,7 +578,7 @@ def bench_e2e(args):
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(TARGET_SECONDS / dt, 3),
-    }))
+    }), flush=True)
     print("phase breakdown: " + ", ".join(
         f"{k} {v:.2f}s" for k, v in phases.items()), file=sys.stderr)
 
@@ -644,7 +659,7 @@ def bench_full4k(args):
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(ref_vae_only / dt, 3),
-    }))
+    }), flush=True)
     if ci and ci > 1:
         # quantified drift vs the exact path (same seed): the fidelity
         # number the cache's speedup must be weighed against
@@ -739,7 +754,7 @@ def bench_sharded(args):
         "value": round(per_image, 3),
         "unit": "s",
         "vs_baseline": round(TARGET_SECONDS / per_image, 3),
-    }))
+    }), flush=True)
 
 
 def bench_vae(size, ref_enc, ref_dec):
@@ -795,7 +810,8 @@ def bench_vae(size, ref_enc, ref_dec):
                 "unit": "s",
                 "vs_baseline": round(ref_total / total, 1),
             }
-        )
+        ),
+        flush=True,
     )
     import sys
     print(f"encode {t_enc:.2f}s decode {t_dec:.2f}s", file=sys.stderr)

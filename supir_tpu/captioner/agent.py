@@ -513,7 +513,13 @@ class CaptionerAgent:
         )
         embeds = jnp.concatenate([emb(pre_ids), img_embeds, emb(post_ids)], axis=1)
         plen = embeds.shape[1]
-        assert plen + cfg.max_new_tokens <= cfg.cache_len, "cache too small"
+        # a longer-than-budgeted prompt would otherwise overflow the static
+        # cache silently (dynamic_update_slice clamps at the boundary,
+        # corrupting the last positions)
+        assert plen + cfg.max_new_tokens <= cfg.cache_len, (
+            f"KV cache too small: prefill {plen} + max_new_tokens "
+            f"{cfg.max_new_tokens} > cache_len {cfg.cache_len}"
+        )
 
         prefill, _, _ = self._prefill_decode
         caches = self.llama.init_cache(b, cfg.cache_len, dtype=self._kv_dtype)

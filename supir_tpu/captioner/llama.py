@@ -277,6 +277,15 @@ def _int8_kv_attention(q, kq, ks, vq, vs, bias):
     q [B,s,H,D]; kq/vq [B,L,H,D] int8; ks/vs [B,H,L] fp32 scales (L on
     the lane dim); bias [1,1,s,L] additive mask. Returns [B,s,H,D]."""
     dt = q.dtype
+    # the factorized einsums pair query head h with cache head h directly;
+    # a GQA cache (kv_heads < heads) would need the scales and quantized
+    # planes broadcast over the query-head groups first — fail loudly
+    # rather than with an opaque shape error (llava-13b is MHA)
+    assert q.shape[2] == kq.shape[2], (
+        f"int8-KV factorized attention requires kv_heads == heads "
+        f"(got {kq.shape[2]} kv heads, {q.shape[2]} query heads); use the "
+        f"bf16 KV path for GQA configs"
+    )
     scores = jnp.einsum(
         "bshd,blhd->bhsl", q, kq.astype(dt),
         preferred_element_type=jnp.float32,

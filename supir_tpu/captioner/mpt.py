@@ -228,10 +228,15 @@ class MPTForCausalLM(nn.Module):
                 x, _ = blk(x, None, attn_bias=bias)
             x = self.norm_f(x)
             return self.wte.attend(x.astype(jnp.float32)), None
-        if c.prefix_lm and caches is None:
+        if c.prefix_lm:
+            # unconditional like the reference (modeling_mpt.py:158-159):
+            # a prefix-LM model driven through the cached generate path
+            # would otherwise silently prefill fully causally — wrong
+            # bidirectional-prefix hidden states with no error
             raise ValueError(
                 "prefix_mask is required when MPT is configured with "
-                "prefix_lm=True (reference modeling_mpt.py:158-159)"
+                "prefix_lm=True (and the KV-cache path does not support "
+                "prefix-LM; re-prefill instead, modeling_mpt.py:306-319)"
             )
         if caches is not None:
             bias_len = caches[0][0].shape[1]

@@ -162,13 +162,17 @@ def _attn_kernel_packed_single(
 
 
 def _attn_kernel(
-    *refs, scale, kv_len, bkv, causal, bq, alibi
+    *refs, scale, kv_len, bkv, causal, bq, alibi, with_lse=False
 ):
-    if alibi:
-        q_ref, k_ref, v_ref, slope_ref, o_ref, m_scr, l_scr, acc_scr = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
-        slope_ref = None
+    idx = 3
+    q_ref, k_ref, v_ref = refs[:3]
+    slope_ref = refs[idx] if alibi else None
+    idx += 1 if alibi else 0
+    o_ref = refs[idx]
+    idx += 1
+    lse_ref = refs[idx] if with_lse else None
+    idx += 1 if with_lse else 0
+    m_scr, l_scr, acc_scr = refs[idx : idx + 3]
     kv_i = pl.program_id(2)
     n_kv = pl.num_programs(2)
     q_i = pl.program_id(1)
@@ -226,6 +230,11 @@ def _attn_kernel(
     @pl.when(kv_i == n_kv - 1)
     def _():
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, 0:1], 1e-30)).astype(o_ref.dtype)
+        if with_lse:
+            # per-row logsumexp of the SCALED (+bias) scores — the backward
+            # residual (reference keeps the same L tensor,
+            # flash_attn_triton.py:128-151)
+            lse_ref[0] = m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-30))
 
 
 def _pad_to(x, axis, mult):
@@ -238,20 +247,22 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "bq", "bkv", "interpret"))
 def flash_attention(
     q, k, v, bias=None, causal=False, alibi_slopes=None,
     bq: int | None = None, bkv: int | None = None,
     interpret: bool | None = None,
 ):
-    # block defaults from v5e sweeps (head-packed kernel): long kv wants a
-    # deep kv pipeline — (512,2048) hits 48 TF/s at 4096 tokens (vs 38 at
-    # (1024,1024)); at 1024 tokens (512,1024) ~12 TF/s, launch-bound
     """[B, S, H, D] attention; scale = D**-0.5. `alibi_slopes` [H] fuses the
     MPT ALiBi column bias into the kernel (replacing the reference's Triton
     bias path, flash_attn_triton.py:51-497). Arbitrary dense `bias` is not
     supported in the kernel path (UNet/CLIP never need it) — falls back to
-    XLA if given."""
+    XLA if given.
+
+    Differentiable: under `jax.grad` a custom VJP runs an lse-emitting
+    forward plus blockwise Pallas dQ/dKV backward kernels (the reference's
+    Triton kernel is likewise fwd+bwd, flash_attn_triton.py:155-299), so
+    training keeps flash's O(S*D) memory instead of materializing [S, T]
+    probabilities."""
     if bias is not None:
         from supir_tpu.ops.attention import _xla_attention
 
@@ -262,6 +273,19 @@ def flash_attention(
 
     b, s, h, d = q.shape
     t = k.shape[1]
+    bq, bkv = _resolve_blocks(s, t, bq, bkv)
+    slopes = (
+        tuple(float(x) for x in np.asarray(alibi_slopes))
+        if alibi_slopes is not None else None
+    )
+    fn = _make_diff_fn(causal, slopes, bq, bkv, interpret)
+    return fn(q, k, v)
+
+
+def _resolve_blocks(s, t, bq, bkv):
+    # block defaults from v5e sweeps (head-packed kernel): long kv wants a
+    # deep kv pipeline — (512,2048) hits 48 TF/s at 4096 tokens (vs 38 at
+    # (1024,1024)); at 1024 tokens (512,1024) ~12 TF/s, launch-bound
     if bq is None or bkv is None:
         import os
 
@@ -273,6 +297,38 @@ def flash_attention(
             )
     bq = min(bq, max(8, 1 << (s - 1).bit_length()))
     bkv = min(bkv, max(128, 1 << (t - 1).bit_length()))
+    return bq, bkv
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_fn(causal, slopes, bq, bkv, interpret):
+    """custom_vjp closure per static config: primal = the fast inference
+    dispatch (head-packed when eligible); fwd rule = lse-emitting kernel;
+    bwd rule = blockwise dQ / dKV kernels."""
+
+    @jax.custom_vjp
+    def fn(q, k, v):
+        return _flash_primal(q, k, v, causal, slopes, bq, bkv, interpret)
+
+    def fwd(q, k, v):
+        out, lse = _flash_fwd_lse(q, k, v, causal, slopes, bq, bkv, interpret)
+        return out, (q, k, v, out, lse)
+
+    def bwd(res, g):
+        q, k, v, out, lse = res
+        return _flash_bwd(q, k, v, out, lse, g, causal, slopes, bq, bkv,
+                          interpret)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "alibi_slopes", "bq", "bkv", "interpret")
+)
+def _flash_primal(q, k, v, causal, alibi_slopes, bq, bkv, interpret):
+    b, s, h, d = q.shape
+    t = k.shape[1]
     scale = d**-0.5
     alibi = alibi_slopes is not None
 
@@ -354,3 +410,275 @@ def flash_attention(
 
     out = out[:, :s].reshape(b, h, s, d).transpose(0, 2, 1, 3)
     return out
+
+
+# --------------------------------------------------------------- backward
+# Blockwise flash-attention VJP (reference: the Triton kernel's _bwd_kernel,
+# llava/.../mpt/flash_attn_triton.py:155-299). Residuals are q/k/v/out plus
+# the per-row logsumexp of the scaled scores; the [S, T] probability matrix
+# is recomputed tile-by-tile in both backward kernels, never materialized.
+# Layout is the plain [B*H, S, D] one (the packed layout would need a
+# per-group lse); training throughput is dominated by the dgemms anyway.
+
+
+def _bh_layout(x, mult):
+    b, s, h, d = x.shape
+    return _pad_to(x.transpose(0, 2, 1, 3).reshape(b * h, s, d), 1, mult)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "alibi_slopes", "bq", "bkv", "interpret")
+)
+def _flash_fwd_lse(q, k, v, causal, alibi_slopes, bq, bkv, interpret):
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale = d**-0.5
+    alibi = alibi_slopes is not None
+
+    qb = _bh_layout(q, bq)
+    kb = _bh_layout(k, bkv)
+    vb = _bh_layout(v, bkv)
+    s_pad, t_pad = qb.shape[1], kb.shape[1]
+    grid = (b * h, s_pad // bq, t_pad // bkv)
+
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, kv_len=t, bkv=bkv, causal=causal, bq=bq,
+        alibi=alibi, with_lse=True,
+    )
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+        pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, kk, 0)),
+        pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, kk, 0)),
+    ]
+    operands = [qb, kb, vb]
+    if alibi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.tile(jnp.asarray(alibi_slopes, jnp.float32), b))
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bq), lambda i, j, kk: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qb.shape, q.dtype),
+            jax.ShapeDtypeStruct((b * h, s_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return out[:, :s].reshape(b, h, s, d).transpose(0, 2, 1, 3), lse
+
+
+def _bwd_dq_kernel(*refs, scale, kv_len, bq, bkv, causal, alibi):
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
+    slope_ref = refs[6] if alibi else None
+    o = 7 if alibi else 6
+    dq_ref = refs[o]
+    dq_scr = refs[o + 1]
+    kv_i = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+    q_i = pl.program_id(1)
+    slope = slope_ref[pl.program_id(0)] if alibi else None
+
+    @pl.when(kv_i == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    def compute():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bq, bkv]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_i * bkv
+        if alibi:
+            s = s + slope * (col - (kv_len - 1)).astype(jnp.float32)
+        p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bkv]
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_i * bq
+            mask = mask & (col <= row)
+        p = jnp.where(mask, p, 0.0)
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bkv]
+        ds = p * (dp - delta_ref[0][:, None])
+        dq_scr[:] += scale * jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal:
+        @pl.when(kv_i * bkv <= (q_i + 1) * bq - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(kv_i == n_kv - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(*refs, scale, kv_len, bq, bkv, causal, alibi):
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
+    slope_ref = refs[6] if alibi else None
+    o = 7 if alibi else 6
+    dk_ref, dv_ref = refs[o : o + 2]
+    dk_scr, dv_scr = refs[o + 2 : o + 4]
+    kv_i = pl.program_id(1)
+    q_i = pl.program_id(2)
+    n_q = pl.num_programs(2)
+    slope = slope_ref[pl.program_id(0)] if alibi else None
+
+    @pl.when(q_i == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    def compute():
+        # transposed orientation: [bkv, bq] tiles so dk/dv accumulate
+        # without in-kernel transposes
+        st = jax.lax.dot_general(
+            k_ref[0], q_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bkv, bq]
+        kvrow = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + kv_i * bkv
+        if alibi:
+            st = st + slope * (kvrow - (kv_len - 1)).astype(jnp.float32)
+        pt = jnp.exp(st - lse_ref[0][None, :])  # [bkv, bq]
+        mask = kvrow < kv_len
+        if causal:
+            qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1) + q_i * bq
+            mask = mask & (kvrow <= qcol)
+        pt = jnp.where(mask, pt, 0.0)
+        dv_scr[:] += jax.lax.dot_general(
+            pt.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bkv, d]
+        dpt = jax.lax.dot_general(
+            v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bkv, bq]
+        dst = pt * (dpt - delta_ref[0][None, :])
+        dk_scr[:] += scale * jax.lax.dot_general(
+            dst.astype(q_ref.dtype), q_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bkv, d]
+
+    if causal:
+        @pl.when(kv_i * bkv <= (q_i + 1) * bq - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(q_i == n_q - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "alibi_slopes", "bq", "bkv", "interpret")
+)
+def _flash_bwd(q, k, v, out, lse, g, causal, alibi_slopes, bq, bkv, interpret):
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale = d**-0.5
+    alibi = alibi_slopes is not None
+
+    qb = _bh_layout(q, bq)
+    kb = _bh_layout(k, bkv)
+    vb = _bh_layout(v, bkv)
+    dob = _bh_layout(g, bq)
+    ob = _bh_layout(out, bq)
+    s_pad, t_pad = qb.shape[1], kb.shape[1]
+    # delta_i = sum_d dO_i * O_i — cheap elementwise reduce, XLA fuses it;
+    # padded rows give 0, which zeroes their ds contribution in-kernel
+    delta = jnp.sum(dob.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1)
+
+    qkv_specs = [
+        pl.BlockSpec((1, bq, d), None),   # q — index_map set per kernel
+        pl.BlockSpec((1, bkv, d), None),  # k
+        pl.BlockSpec((1, bkv, d), None),  # v
+        pl.BlockSpec((1, bq, d), None),   # do
+        pl.BlockSpec((1, bq), None),      # lse
+        pl.BlockSpec((1, bq), None),      # delta
+    ]
+    operands = [qb, kb, vb, dob, lse, delta]
+    if alibi:
+        qkv_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.tile(jnp.asarray(alibi_slopes, jnp.float32), b))
+
+    # dQ: grid (BH, n_q, n_kv) — kv is the sequential accumulation axis
+    dq_maps = [
+        lambda i, j, kk: (i, j, 0),   # q
+        lambda i, j, kk: (i, kk, 0),  # k
+        lambda i, j, kk: (i, kk, 0),  # v
+        lambda i, j, kk: (i, j, 0),   # do
+        lambda i, j, kk: (i, j),      # lse
+        lambda i, j, kk: (i, j),      # delta
+    ]
+    dq_specs = [
+        pl.BlockSpec(sp.block_shape, m) if sp.block_shape else sp
+        for sp, m in zip(qkv_specs, dq_maps + [None] * alibi)
+    ]
+    dqb = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, kv_len=t, bq=bq, bkv=bkv,
+            causal=causal, alibi=alibi,
+        ),
+        grid=(b * h, s_pad // bq, t_pad // bkv),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(qb.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+
+    # dK/dV: grid (BH, n_kv, n_q) — q is the sequential accumulation axis
+    dkv_maps = [
+        lambda i, j, kk: (i, kk, 0),  # q
+        lambda i, j, kk: (i, j, 0),   # k
+        lambda i, j, kk: (i, j, 0),   # v
+        lambda i, j, kk: (i, kk, 0),  # do
+        lambda i, j, kk: (i, kk),     # lse
+        lambda i, j, kk: (i, kk),     # delta
+    ]
+    dkv_specs = [
+        pl.BlockSpec(sp.block_shape, m) if sp.block_shape else sp
+        for sp, m in zip(qkv_specs, dkv_maps + [None] * alibi)
+    ]
+    dkb, dvb = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, kv_len=t, bq=bq, bkv=bkv,
+            causal=causal, alibi=alibi,
+        ),
+        grid=(b * h, t_pad // bkv, s_pad // bq),
+        in_specs=dkv_specs,
+        out_specs=[
+            pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda i, j, kk: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(kb.shape, k.dtype),
+            jax.ShapeDtypeStruct(vb.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    unpack_q = lambda x: x[:, :s].reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    unpack_kv = lambda x: x[:, :t].reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    return unpack_q(dqb), unpack_kv(dkb), unpack_kv(dvb)

@@ -211,7 +211,14 @@ def iter_stream_frames(resp, block: int = 4096):
             if frame:
                 yield json.loads(frame)
     if buf.strip():
-        yield json.loads(buf)
+        # a connection dropped mid-frame (proxy exception after headers)
+        # leaves a truncated tail — surface a clean error frame instead of
+        # raising json.JSONDecodeError in every client
+        try:
+            yield json.loads(buf)
+        except json.JSONDecodeError:
+            yield {"text": "", "error_code": 1,
+                   "error": "stream truncated mid-frame"}
 
 
 def main(argv=None):

@@ -94,6 +94,26 @@ def test_lightning_sampler_path(engine):
     assert np.isfinite(np.asarray(samples)).all()
 
 
+def test_substep_sampler_path(engine):
+    """'Substep' (reference SubstepSampler, sampling.py:371-420): Euler-
+    ancestral over the fixed 1000-step subset [0,100,200,300,1000]. The
+    engine must accept the name and the subset schedule must actually take
+    effect (output differs from EulerAncestral on the default schedule)."""
+    x = jnp.clip(jax.random.normal(jax.random.PRNGKey(5), (1, 64, 64, 3)) * 0.3, -1, 1)
+    z = engine.encode_first_stage_with_denoise(x)
+    k = jax.random.PRNGKey(6)
+    c, uc = engine.prepare_condition(z, _tokens(k), _tokens(k), _tokens(k), _tokens(k))
+    kw = dict(num_steps=4, cfg_scale=2.0, seed=7, z_override=z,
+              color_fix_type="None")
+    sub = engine.batchify_sample(x, c, uc, sampler_name="Substep", **kw)
+    assert sub.shape == x.shape
+    assert np.isfinite(np.asarray(sub)).all()
+    ea = engine.batchify_sample(x, c, uc, sampler_name="EulerAncestral", **kw)
+    assert np.abs(np.asarray(sub) - np.asarray(ea)).max() > 1e-4, (
+        "Substep ran the default schedule — the subset sigmas were ignored"
+    )
+
+
 @pytest.mark.heavy
 def test_feature_cache_interval_one_is_bit_identical(engine):
     """The cached-sampler wiring with recompute-every-step must reproduce

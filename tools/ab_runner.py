@@ -27,32 +27,24 @@ PROBE = (
 
 # (name, argv, timeout_s, extra_env) — new-information stages first so a
 # briefly-healed tunnel yields the most useful numbers before re-wedging.
-# Measured 2026-08-19, single process on the chip (decode chained ms/token):
-#   paired+fused_glue 13.00 (e2e 44.2 tok/s), +kv_int8 factorized 12.83,
-#   no_fused_glue 13.50, w4a8 16.36, halfsplit 20.67 (contended),
-#   headline_cache2 6.761 s/image, headline_cache4 5.577 s/image.
-# captioner_int4_native REMOVED: eager s4 buffers crash through the
+# Round-4 measured results live in bench_results/ab_r04.jsonl (committed);
+# round-5 queue re-proves the headline + captioner + batch + tiled-cache
+# numbers for the driver record (VERDICT r4 item 1) and re-tries the two
+# stages that failed on the half-dead tunnel (full4k OOM, vae8k timeout).
+# captioner_int4_native stays REMOVED: eager s4 buffers crash through the
 # tunneled backend (known; int4_paired is the production native-cast path).
 STAGES = [
     ("headline", [sys.executable, "bench.py"], 1500, None),
-    ("step_profile_fresh", [sys.executable, "tools/profile_step.py",
-                            "--iters", "10", "--skip-vae"], 1500, None),
-    ("e2e", [sys.executable, "bench.py", "--e2e"], 2400, None),
-    ("captioner_kv8_relayout", [sys.executable, "bench.py", "--captioner",
-                                "--kv_int8"], 1800, None),
-    ("gemv_clean", [sys.executable, "tools/gemv_sweep.py", "--layers", "16",
-                    "--inner", "16", "--reps", "5",
-                    "--kinds", "paired,w4a8,s4mxu", "--shapes", "qkv,gateup"],
-     2400, None),
-    ("step_flash_b1024_1024", [sys.executable, "tools/profile_step.py",
-                               "--iters", "10", "--skip-vae"], 1500,
-     {"SUPIR_FLASH_BQ": "1024", "SUPIR_FLASH_BKV": "1024"}),
-    ("step_flash_b256_4096", [sys.executable, "tools/profile_step.py",
-                              "--iters", "10", "--skip-vae"], 1500,
-     {"SUPIR_FLASH_BQ": "256", "SUPIR_FLASH_BKV": "4096"}),
-    ("vae8k", [sys.executable, "bench.py", "--vae8k"], 1200, None),
-    ("batch2", [sys.executable, "bench.py", "--batch", "2"], 1500, None),
+    ("captioner_kv8", [sys.executable, "bench.py", "--captioner",
+                       "--kv_int8"], 1800, None),
+    ("batch4", [sys.executable, "bench.py", "--batch", "4"], 1800, None),
     ("full4k", [sys.executable, "bench.py", "--full4k"], 2400, None),
+    ("full4k_cache2", [sys.executable, "bench.py", "--full4k",
+                       "--cache_interval", "2"], 2400, None),
+    ("batch2", [sys.executable, "bench.py", "--batch", "2"], 1500, None),
+    ("headline_cache2", [sys.executable, "bench.py",
+                         "--cache_interval", "2"], 1500, None),
+    ("vae8k", [sys.executable, "bench.py", "--vae8k"], 1800, None),
 ]
 
 
