@@ -107,12 +107,14 @@ def ref_cfg(target: str, **params) -> RefCfg:
     return RefCfg(target=target, params=RefCfg(**params))
 
 
-def build_tiny_supir_model(num_steps=3):
+def build_tiny_supir_model(num_steps=3, tiled=False, tile_size=8,
+                           tile_stride=4):
     """The reference's OWN `SUPIRModel` (SUPIR_model.py:12-41) at tiny width:
     full DiffusionEngine graph (ControlWrapper'd LightGLVUNet + GLVControl,
     DiscreteDenoiserWithControl, AutoencoderKLInferenceWrapper first stage
     with the deep-copied denoise_encoder, RestoreEDMSampler + LinearCFG),
-    randomized zero-init params."""
+    randomized zero-init params. tiled=True swaps in the reference's
+    TiledRestoreEDMSampler (sampling.py:600-660, latent-unit tiles)."""
     ref = load_ref()
     import torch
 
@@ -156,7 +158,8 @@ def build_tiny_supir_model(num_steps=3):
                 lossconfig=ref_cfg("torch.nn.Identity"),
             ),
             sampler_config=ref_cfg(
-                "sgm.modules.diffusionmodules.sampling.RestoreEDMSampler",
+                "sgm.modules.diffusionmodules.sampling."
+                + ("TiledRestoreEDMSampler" if tiled else "RestoreEDMSampler"),
                 num_steps=num_steps, restore_cfg=4.0, s_churn=0.0,
                 s_noise=1.003, device="cpu",
                 discretization_config=ref_cfg(disc),
@@ -164,6 +167,8 @@ def build_tiny_supir_model(num_steps=3):
                     "sgm.modules.diffusionmodules.guiders.LinearCFG",
                     scale=7.5, scale_min=4.0,
                 ),
+                **(dict(tile_size=tile_size, tile_stride=tile_stride)
+                   if tiled else {}),
             ),
             network_wrapper="sgm.modules.diffusionmodules.wrappers.ControlWrapper",
             scale_factor=0.13025,
