@@ -109,6 +109,10 @@ def main():
     ap.add_argument("--head_int8", action="store_true",
                     help="int8 per-out-channel lm_head for --captioner "
                          "(halves the 0.33 GB/token bf16 head stream)")
+    ap.add_argument("--fused_pairs", action="store_true",
+                    help="chain TWO GEMVs per Pallas launch in the decode "
+                         "(o+norm+gateup / down+norm+next-qkv): 2 launches "
+                         "per layer instead of 4")
     ap.add_argument("--no_fused_glue", action="store_true",
                     help="disable the fused norm/siluglu/residual GEMV "
                          "kernels for --captioner (A/B the glue fusion)")
@@ -267,7 +271,8 @@ def main():
 def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
                          int4_native: bool = False, int4_halfsplit: bool = False,
                          w4a8: bool = False, fused_glue: bool = True,
-                         head_int8: bool = False, cache_len: int = 1280):
+                         head_int8: bool = False, cache_len: int = 1280,
+                         fused_pairs: bool = False):
     """Abstract-weights captioner at 13B dims (tiny on CPU) for throughput
     work; weight VALUES are irrelevant to decode speed, so the quantized
     tree is built via eval_shape + zeros — 13B bf16 would not even fit in
@@ -357,6 +362,7 @@ def make_captioner_agent(bits: int, new_tokens: int = 64, kv_int8: bool = False,
             fused_qkv=True, int4_native=int4_native,
             int4_paired=not int4_halfsplit, act_int8=w4a8,
             fused_glue=fused_glue, head_int8=head_int8,
+            fused_pairs=fused_pairs,
         ),
     )
     return CaptionerAgent(qcfg, params), new_tokens, model_name
@@ -388,6 +394,7 @@ def bench_captioner(args):
         w4a8=getattr(args, "w4a8", False),
         fused_glue=not getattr(args, "no_fused_glue", False),
         head_int8=getattr(args, "head_int8", False),
+        fused_pairs=getattr(args, "fused_pairs", False),
     )
 
     img = np.zeros((336, 336, 3), np.uint8)

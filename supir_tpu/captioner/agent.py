@@ -130,6 +130,7 @@ class CaptionerAgent:
         self.params = params
         self.tokenizer = tokenizer
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self._compute_dtype = dt
         self._kv_dtype = {
             "bfloat16": jnp.bfloat16, "int8": jnp.int8,
         }.get(cfg.kv_dtype, jnp.float32)
@@ -414,10 +415,18 @@ class CaptionerAgent:
 
         def decode_step(params, tok, pos, caches, rng, temperature, top_p):
             emb = llama.apply({"params": params["llama"]}, tok, method=llama.embed)
-            logits, caches = llama.apply(
-                {"params": params["llama"]}, emb, pos[:, None],
-                caches=caches, cache_index=pos[0],
-            )
+            if cfg.llama.fused_pairs:
+                from supir_tpu.captioner.llama import fused_pair_decode_step
+
+                logits, caches = fused_pair_decode_step(
+                    cfg.llama, params["llama"], emb, pos[:, None], caches,
+                    pos[0], compute_dtype=self._compute_dtype,
+                )
+            else:
+                logits, caches = llama.apply(
+                    {"params": params["llama"]}, emb, pos[:, None],
+                    caches=caches, cache_index=pos[0],
+                )
             logits = logits[:, -1]
 
             def sample(rng):

@@ -76,6 +76,14 @@ class LlamaConfig:
     # halves the 0.33 GB/token bf16 head stream at 13B dims. Opt-in — it
     # perturbs logits directly (the reference keeps the head fp16).
     head_int8: bool = False
+    # chain TWO GEMVs per Pallas launch on the decode path (ops/quantize.py
+    # int4_paired_fused_pair): [o+residual -> post_norm -> gateup] and
+    # [siluglu+down+residual -> next input_norm -> next qkv] each become
+    # one launch — 2 launches/layer instead of 4 (160 -> ~82/token at 40
+    # layers). Same math as fused_glue (CPU fallback composes identically);
+    # decode-path only (prefill keeps the per-block modules). Needs
+    # int4_paired + fused_qkv + MHA.
+    fused_pairs: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -386,6 +394,63 @@ def quantize_llama_params(params, bits: int = 8, fuse: bool = False,
     return walk(params), saved[0]
 
 
+def update_cache_attend(q, k, v, cache, cache_index, s):
+    """Shared cache-update + masked attention (LlamaBlock and the fused-
+    pair decode path both route here). cache is (k, v) bf16 [B,L,H,D] or
+    the int8 4-tuple (kq, ks, vq, vs):
+
+    int8 KV cache: per-(position, head) symmetric scales; the dequant
+    (convert * broadcast-scale) fuses into the QK/PV dot operand reads so
+    only int8 bytes stream from HBM — halves the decode's second-largest
+    HBM term (1.05 GB/token bf16 at 13B dims, cache_len 1280). Values are
+    [B,L,H,D] int8 + [B,H,L] scales — scales keep L on the LANE dim; a
+    [B,L,H,1] layout lane-pads the trailing 1 to 128 on TPU (26 MB/layer
+    of phantom scale bytes at 13B dims instead of 0.2 MB)."""
+    if len(cache) == 4:
+        kq, ks, vq, vs = cache
+        nkq, nks = _quant_kv(k)
+        nvq, nvs = _quant_kv(v)
+        at = (0, cache_index, 0, 0)
+        kq = jax.lax.dynamic_update_slice(kq, nkq, at)
+        vq = jax.lax.dynamic_update_slice(vq, nvq, at)
+        at_s = (0, 0, cache_index)
+        ks = jax.lax.dynamic_update_slice(
+            ks, jnp.transpose(nks[..., 0], (0, 2, 1)).astype(ks.dtype),
+            at_s)
+        vs = jax.lax.dynamic_update_slice(
+            vs, jnp.transpose(nvs[..., 0], (0, 2, 1)).astype(vs.dtype),
+            at_s)
+        k_all, v_all = (kq, ks), (vq, vs)
+        new_cache = (kq, ks, vq, vs)
+    else:
+        ck, cv = cache  # [B, L, H, D]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        k_all, v_all = ck, cv
+        new_cache = (ck, cv)
+    if isinstance(cache_index, int) and cache_index == 0:
+        # prefill fast path: nothing precedes these s tokens, so
+        # attention over the fresh k/v with a causal mask is exact —
+        # skips the [B, H, s, cache_len] full-cache bias logits
+        # (cache_len 1280 vs s~700 at 13B) and is flash-eligible
+        out = dot_product_attention(q, k, v, causal=True, impl="auto")
+    else:
+        # mask out cache positions beyond (cache_index + s)
+        lcache = (k_all[0] if isinstance(k_all, tuple) else k_all).shape[1]
+        col = jnp.arange(lcache)[None, None, None, :]
+        valid = col < (cache_index + s)
+        bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+        row = jnp.arange(s)[None, None, :, None] + cache_index
+        causal = col <= row
+        bias = bias + jnp.where(causal, 0.0, -1e30)
+        if isinstance(k_all, tuple):
+            out = _int8_kv_attention(q, *k_all, *v_all, bias)
+        else:
+            out = dot_product_attention(
+                q, k_all, v_all, bias=bias, impl="xla")
+    return out, new_cache
+
+
 class LlamaBlock(nn.Module):
     cfg: LlamaConfig
     dtype: Dtype = jnp.float32
@@ -448,57 +513,7 @@ class LlamaBlock(nn.Module):
         v = v.reshape(b, s, c.kv_heads, hd)
 
         if cache is not None:
-            if len(cache) == 4:
-                # int8 KV cache: per-(position, head) symmetric scales; the
-                # dequant (convert * broadcast-scale) fuses into the QK/PV
-                # dot operand reads so only int8 bytes stream from HBM —
-                # halves the decode's second-largest HBM term (1.05 GB/token
-                # bf16 at 13B dims, cache_len 1280)
-                # [B,L,H,D] int8 values + [B,H,L] scales — scales keep L on
-                # the LANE dim; a [B,L,H,1] layout lane-pads the trailing 1
-                # to 128 on TPU (26 MB/layer of phantom scale bytes at 13B
-                # dims instead of 0.2 MB)
-                kq, ks, vq, vs = cache
-                nkq, nks = _quant_kv(k)
-                nvq, nvs = _quant_kv(v)
-                at = (0, cache_index, 0, 0)
-                kq = jax.lax.dynamic_update_slice(kq, nkq, at)
-                vq = jax.lax.dynamic_update_slice(vq, nvq, at)
-                at_s = (0, 0, cache_index)
-                ks = jax.lax.dynamic_update_slice(
-                    ks, jnp.transpose(nks[..., 0], (0, 2, 1)).astype(ks.dtype),
-                    at_s)
-                vs = jax.lax.dynamic_update_slice(
-                    vs, jnp.transpose(nvs[..., 0], (0, 2, 1)).astype(vs.dtype),
-                    at_s)
-                k_all, v_all = (kq, ks), (vq, vs)
-                new_cache = (kq, ks, vq, vs)
-            else:
-                ck, cv = cache  # [B, L, H, D]
-                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-                k_all, v_all = ck, cv
-                new_cache = (ck, cv)
-            if isinstance(cache_index, int) and cache_index == 0:
-                # prefill fast path: nothing precedes these s tokens, so
-                # attention over the fresh k/v with a causal mask is exact —
-                # skips the [B, H, s, cache_len] full-cache bias logits
-                # (cache_len 1280 vs s~700 at 13B) and is flash-eligible
-                out = dot_product_attention(q, k, v, causal=True, impl="auto")
-            else:
-                # mask out cache positions beyond (cache_index + s)
-                lcache = (k_all[0] if isinstance(k_all, tuple) else k_all).shape[1]
-                col = jnp.arange(lcache)[None, None, None, :]
-                valid = col < (cache_index + s)
-                bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
-                row = jnp.arange(s)[None, None, :, None] + cache_index
-                causal = col <= row
-                bias = bias + jnp.where(causal, 0.0, -1e30)
-                if isinstance(k_all, tuple):
-                    out = _int8_kv_attention(q, *k_all, *v_all, bias)
-                else:
-                    out = dot_product_attention(
-                        q, k_all, v_all, bias=bias, impl="xla")
+            out, new_cache = update_cache_attend(q, k, v, cache, cache_index, s)
         else:
             new_cache = None
             out = dot_product_attention(q, k, v, bias=attn_bias, causal=True, impl="xla")
@@ -612,3 +627,83 @@ class LlamaForCausalLM(nn.Module):
             )
             for _ in range(c.layers)
         ]
+
+
+def fused_pair_decode_step(cfg: LlamaConfig, params, emb, positions, caches,
+                           cache_index, compute_dtype=jnp.bfloat16):
+    """Decode step over the RAW 'llama' param tree with chained fused-pair
+    kernels (LlamaConfig.fused_pairs): per layer, [o_proj+residual ->
+    post_norm -> gateup_proj] and [siluglu+down_proj+residual -> NEXT
+    layer's input_norm -> NEXT layer's qkv_proj] each run as ONE Pallas
+    launch (ops/quantize.int4_paired_fused_pair) — 2 launches/layer vs
+    fused_glue's 4. Cross-layer fusion cannot live inside flax module
+    scoping (layer i's kernel consumes layer i+1's params), hence this
+    functional twin of LlamaModel; numerics match the module path exactly
+    on the XLA fallback and to kernel fp32-accum tolerance on TPU.
+
+    params: {'embed_tokens', 'model': {'layer_i', 'norm'}, 'lm_head'}.
+    Returns (logits fp32 [B, s, vocab], new_caches)."""
+    from supir_tpu.ops.quantize import (
+        int4_paired_fused_matmul, int4_paired_fused_pair, int8_matmul,
+    )
+
+    c = cfg
+    hd = c.head_dim
+    b, s, _ = emb.shape
+    mp = params["model"]
+    cos, sin = rotary_cos_sin(positions, hd, c.rope_theta)
+    cos = cos.astype(compute_dtype)
+    sin = sin.astype(compute_dtype)
+
+    x2 = emb.reshape(b * s, c.dim).astype(jnp.float32)  # fp32 residual stream
+    l0 = mp["layer_0"]
+    qkv = int4_paired_fused_matmul(
+        x2.astype(compute_dtype), l0["qkv_proj"]["qp"],
+        l0["qkv_proj"]["scale"], gamma=l0["input_norm"]["weight"],
+        eps=c.rms_eps,
+    )
+    new_caches = []
+    for i in range(c.layers):
+        li = mp[f"layer_{i}"]
+        qkv3 = qkv.reshape(b, s, -1).astype(compute_dtype)
+        q = apply_rotary(
+            qkv3[..., : c.heads * hd].reshape(b, s, c.heads, hd), cos, sin)
+        k = apply_rotary(
+            qkv3[..., c.heads * hd : hd * (c.heads + c.kv_heads)]
+            .reshape(b, s, c.kv_heads, hd), cos, sin)
+        v = qkv3[..., hd * (c.heads + c.kv_heads) :].reshape(
+            b, s, c.kv_heads, hd)
+        out, nc = update_cache_attend(q, k, v, caches[i], cache_index, s)
+        new_caches.append(nc)
+        out2 = out.reshape(b * s, c.heads * hd).astype(compute_dtype)
+        xr, gu = int4_paired_fused_pair(
+            out2, li["o_proj"]["qp"], li["o_proj"]["scale"], x2,
+            li["post_norm"]["weight"], li["gateup_proj"]["qp"],
+            li["gateup_proj"]["scale"], siluglu1=False, eps=c.rms_eps,
+        )
+        if i + 1 < c.layers:
+            ln = mp[f"layer_{i + 1}"]
+            x2, qkv = int4_paired_fused_pair(
+                gu.astype(compute_dtype), li["down_proj"]["qp"],
+                li["down_proj"]["scale"], xr, ln["input_norm"]["weight"],
+                ln["qkv_proj"]["qp"], ln["qkv_proj"]["scale"],
+                siluglu1=True, eps=c.rms_eps,
+            )
+        else:
+            x2 = int4_paired_fused_matmul(
+                gu.astype(compute_dtype), li["down_proj"]["qp"],
+                li["down_proj"]["scale"], siluglu=True, residual=xr,
+            )
+
+    xf = x2 * jax.lax.rsqrt(jnp.mean(x2 * x2, axis=-1, keepdims=True) + c.rms_eps)
+    xf = xf * mp["norm"]["weight"].astype(jnp.float32)
+    head = params["lm_head"]
+    if "q" in head:  # int8 head
+        logits = int8_matmul(xf.astype(compute_dtype), head["q"], head["scale"])
+    else:
+        logits = jnp.dot(
+            xf.astype(compute_dtype),
+            head["Dense_0"]["kernel"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return logits.reshape(b, s, -1).astype(jnp.float32), new_caches

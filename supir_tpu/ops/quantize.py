@@ -395,6 +395,134 @@ def int4_paired_fused_matmul(
     return out
 
 
+def _qmm_pair_kernel(
+    x_ref, qp1_ref, sc1_ref, r_ref, g_ref, qp2_ref, sc2_ref,
+    osm_ref, obig_ref, sm_scr,
+    *, n1, siluglu1, eps, xdtype, bout1,
+):
+    """TWO chained paired-int4 GEMVs in ONE launch (phase-split grid).
+
+    Steps 0..n1-1 (phase 1) compute disjoint out-blocks of
+      small = glue1(x) @ deq(qp1) * sc1 + residual
+    into both the `small` output and a VMEM scratch; steps n1.. (phase 2)
+    recompute RMSNorm(small) from scratch (order-invariant mean; block-major
+    reconstruction preserves feature order) and stream qp2's out-blocks:
+      big = RMSNorm(small, gamma) @ deq(qp2) * sc2.
+    Halves the captioner decode's launch count (4 -> 2 per layer) and lets
+    qp2's first block prefetch under phase-1 compute."""
+    step = pl.program_id(0)
+
+    @pl.when(step < n1)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if siluglu1:
+            half = xf.shape[-1] // 2
+            a = xf[:, :half]
+            xf = (a * jax.nn.sigmoid(a)) * xf[:, half:]
+        s4 = pltpu.bitcast(qp1_ref[:], jnp.int4)
+        acc = jax.lax.dot_general(
+            xf.astype(xdtype), s4.astype(xdtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * sc1_ref[:].astype(jnp.float32) + r_ref[:].astype(jnp.float32)
+        osm_ref[:] = acc
+        sm_scr[step] = acc
+
+    @pl.when(step >= n1)
+    def _():
+        sm = sm_scr[:]  # [n1, bb, bout1] block-major
+        bb = sm.shape[1]
+        sm = jnp.transpose(sm, (1, 0, 2)).reshape(bb, n1 * bout1)
+        nf = sm * jax.lax.rsqrt(jnp.mean(sm * sm, axis=-1, keepdims=True) + eps)
+        nf = nf * g_ref[:].astype(jnp.float32)
+        s4 = pltpu.bitcast(qp2_ref[:], jnp.int4)
+        acc = jax.lax.dot_general(
+            nf.astype(xdtype), s4.astype(xdtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        obig_ref[:] = acc * sc2_ref[:].astype(jnp.float32)
+
+
+def int4_paired_fused_pair(
+    x: jnp.ndarray,
+    qp1: jnp.ndarray,
+    sc1: jnp.ndarray,
+    residual: jnp.ndarray,
+    gamma: jnp.ndarray,
+    qp2: jnp.ndarray,
+    sc2: jnp.ndarray,
+    *,
+    siluglu1: bool = False,
+    eps: float = 1e-6,
+):
+    """Chained decode projection pair for the paired-int4 layout.
+
+    Returns (small, big):
+      small = (siluglu(x) if siluglu1 else x) @ deq(qp1) * sc1 + residual
+      big   = RMSNorm(small, gamma) @ deq(qp2) * sc2
+    Covers both per-layer merges of the llama decode block:
+      o_proj(+residual) -> post_norm -> gateup_proj           (siluglu1=False)
+      down_proj(+residual) -> next input_norm -> next qkv_proj (siluglu1=True)
+    so a 40-layer decode runs 2 launches/layer instead of 4. The XLA
+    fallback composes identical math op-by-op (CPU tests pin semantics)."""
+    cin1_2, cout1 = qp1.shape
+    cin1 = 2 * cin1_2
+    cin2_2, cout2 = qp2.shape
+    assert 2 * cin2_2 == cout1, (qp1.shape, qp2.shape)
+    xin = 2 * cin1 if siluglu1 else cin1
+    xdtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    bout1 = _paired_bout(cin1, cout1)
+    bout2 = _paired_bout(cout1, cout2)
+    if (
+        jax.default_backend() == "tpu" and x.ndim == 2 and x.shape[0] <= 32
+        and x.shape[1] == xin and cin1 % 256 == 0 and cin1_2 % 8 == 0
+        and cout1 % 256 == 0 and cin2_2 % 8 == 0 and bout1 and bout2
+    ):
+        b = x.shape[0]
+        bpad = (-b) % 8
+        pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0))) if bpad else t
+        xb, rb = pad(x), pad(residual)
+        bb = xb.shape[0]
+        n1, n2 = cout1 // bout1, cout2 // bout2
+        small, big = pl.pallas_call(
+            functools.partial(
+                _qmm_pair_kernel, n1=n1, siluglu1=siluglu1, eps=eps,
+                xdtype=xdtype, bout1=bout1,
+            ),
+            grid=(n1 + n2,),
+            in_specs=[
+                pl.BlockSpec((bb, xin), lambda i: (0, 0)),
+                pl.BlockSpec((cin1_2, bout1), lambda i: (0, jnp.minimum(i, n1 - 1))),
+                pl.BlockSpec((1, bout1), lambda i: (0, jnp.minimum(i, n1 - 1))),
+                pl.BlockSpec((bb, bout1), lambda i: (0, jnp.minimum(i, n1 - 1))),
+                pl.BlockSpec((1, cout1), lambda i: (0, 0)),
+                pl.BlockSpec((cin2_2, bout2), lambda i: (0, jnp.maximum(i - n1, 0))),
+                pl.BlockSpec((1, bout2), lambda i: (0, jnp.maximum(i - n1, 0))),
+            ],
+            out_specs=[
+                pl.BlockSpec((bb, bout1), lambda i: (0, jnp.minimum(i, n1 - 1))),
+                pl.BlockSpec((bb, bout2), lambda i: (0, jnp.maximum(i - n1, 0))),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bb, cout1), jnp.float32),
+                jax.ShapeDtypeStruct((bb, cout2), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((n1, bb, bout1), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20,
+            ),
+        )(xb, qp1, sc1, rb, gamma.reshape(1, cout1), qp2, sc2)
+        return small[:b], big[:b]
+
+    small = int4_paired_fused_matmul(
+        x, qp1, sc1, siluglu=siluglu1, residual=residual
+    )
+    big = int4_paired_fused_matmul(
+        small.astype(x.dtype), qp2, sc2, gamma=gamma, eps=eps
+    )
+    return small, big
+
+
 def quantize_int4_native(w: jnp.ndarray):
     """w [in, out] -> (q jnp.int4 [in, out], scale fp32 [1, out]).
 

@@ -179,3 +179,49 @@ def test_llama_int8_kv_cache_close_to_full_forward():
             np.asarray(lg[:, 0]), np.asarray(full_logits[:, i]),
             atol=0.02 * scale, err_msg=f"step {i}",
         )
+
+
+def test_fused_pairs_decode_matches_module_path():
+    """LlamaConfig.fused_pairs (chained 2-GEMV decode launches,
+    ops/quantize.int4_paired_fused_pair) must reproduce the module-path
+    captions token for token — the XLA fallback composes identical math,
+    so any drift is a wiring bug (wrong layer's params, wrong residual)."""
+    import dataclasses as dc
+
+    cfg = CaptionerConfig.tiny()
+    cfg = dc.replace(cfg, llama=dc.replace(
+        cfg.llama, quantize_int4=True, int4_paired=True, fused_qkv=True,
+        fused_glue=True))
+    agent = CaptionerAgent.create_random(cfg)
+    img = (np.random.default_rng(3).random((30, 40, 3)) * 255).astype(np.uint8)
+    want = agent.gen_image_caption([img], temperature=0.0)
+
+    cfg2 = dc.replace(cfg, llama=dc.replace(cfg.llama, fused_pairs=True))
+    agent2 = CaptionerAgent(cfg2, agent.params, tokenizer=agent.tokenizer)
+    got = agent2.gen_image_caption([img], temperature=0.0)
+    assert got == want
+
+
+def test_fused_pairs_decode_matches_int8_kv_and_head():
+    """fused_pairs composed with the int8 KV cache and int8 lm_head (the
+    e2e bench's memory-lean captioner modes)."""
+    import dataclasses as dc
+
+    from supir_tpu.captioner.llama import quantize_llama_params
+
+    cfg = CaptionerConfig.tiny()
+    cfg = dc.replace(cfg, kv_dtype="int8", llama=dc.replace(
+        cfg.llama, quantize_int4=True, int4_paired=True, fused_qkv=True,
+        fused_glue=True, head_int8=True))
+    base = CaptionerAgent.create_random(CaptionerConfig.tiny())
+    qparams, _ = quantize_llama_params(
+        base.params["llama"], bits=4, fuse=True, head_int8=True)
+    params = dict(base.params, llama=qparams)
+    agent = CaptionerAgent(cfg, params)
+    img = (np.random.default_rng(4).random((30, 40, 3)) * 255).astype(np.uint8)
+    want = agent.gen_image_caption([img], temperature=0.0)
+
+    cfg2 = dc.replace(cfg, llama=dc.replace(cfg.llama, fused_pairs=True))
+    agent2 = CaptionerAgent(cfg2, params)
+    got = agent2.gen_image_caption([img], temperature=0.0)
+    assert got == want
