@@ -430,16 +430,31 @@ def _qmm_pair_kernel(
 
     @pl.when(step >= n1)
     def _():
-        sm = sm_scr[:]  # [n1, bb, bout1] block-major
-        bb = sm.shape[1]
-        sm = jnp.transpose(sm, (1, 0, 2)).reshape(bb, n1 * bout1)
-        nf = sm * jax.lax.rsqrt(jnp.mean(sm * sm, axis=-1, keepdims=True) + eps)
-        nf = nf * g_ref[:].astype(jnp.float32)
-        s4 = pltpu.bitcast(qp2_ref[:], jnp.int4)
-        acc = jax.lax.dot_general(
-            nf.astype(xdtype), s4.astype(xdtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # RMSNorm + GEMV2 over the block-major scratch WITHOUT relayout:
+        # the mean is order-invariant (combine per-chunk sums of squares)
+        # and the dot decomposes into per-chunk dots against statically
+        # sliced row-bands of qp2 (packed row r holds unpacked rows
+        # 2r/2r+1, so band j of bout1//2 packed rows == features
+        # [j*bout1, (j+1)*bout1) of `small`).
+        sq = sm_scr[0] * sm_scr[0]
+        for j in range(1, n1):
+            sq = sq + sm_scr[j] * sm_scr[j]
+        # sum over features: per-chunk partial sums were elementwise-added
+        # above, so one lane-reduce finishes the full-vector sum
+        denom = jnp.sum(sq, axis=-1, keepdims=True) / (n1 * bout1)
+        rr = jax.lax.rsqrt(denom + eps)
+        acc = None
+        half1 = bout1 // 2
+        for j in range(n1):
+            nf = sm_scr[j] * rr * g_ref[:, j * bout1 : (j + 1) * bout1].astype(
+                jnp.float32)
+            s4 = pltpu.bitcast(
+                qp2_ref[j * half1 : (j + 1) * half1, :], jnp.int4)
+            part = jax.lax.dot_general(
+                nf.astype(xdtype), s4.astype(xdtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
         obig_ref[:] = acc * sc2_ref[:].astype(jnp.float32)
 
 
