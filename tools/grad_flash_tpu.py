@@ -15,6 +15,8 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 import time
 
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
 
 def main():
     from supir_tpu.utils.platform import honor_jax_platforms_env
