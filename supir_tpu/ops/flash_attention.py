@@ -233,8 +233,10 @@ def _attn_kernel(
         if with_lse:
             # per-row logsumexp of the SCALED (+bias) scores — the backward
             # residual (reference keeps the same L tensor,
-            # flash_attn_triton.py:128-151)
-            lse_ref[0] = m_scr[:, 0] + jnp.log(jnp.maximum(l_scr[:, 0], 1e-30))
+            # flash_attn_triton.py:128-151). Stored lane-broadcast
+            # [bq, 128]: m/l scratch already hold that layout, and Mosaic
+            # rejects (1, bq) output blocks (last-two-dims 8x128 rule)
+            lse_ref[0] = m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))
 
 
 def _pad_to(x, axis, mult):
@@ -460,11 +462,11 @@ def _flash_fwd_lse(q, k, v, causal, alibi_slopes, bq, bkv, interpret):
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((1, bq), lambda i, j, kk: (i, j)),
+            pl.BlockSpec((1, bq, 128), lambda i, j, kk: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(qb.shape, q.dtype),
-            jax.ShapeDtypeStruct((b * h, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_pad, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -474,6 +476,24 @@ def _flash_fwd_lse(q, k, v, causal, alibi_slopes, bq, bkv, interpret):
         interpret=interpret,
     )(*operands)
     return out[:, :s].reshape(b, h, s, d).transpose(0, 2, 1, 3), lse
+
+
+def _bwd_scores(q_ref, k_ref, lse_ref, kv_off, q_off, scale, kv_len, causal,
+                alibi, slope):
+    """Recompute the probability tile p [bq, bkv] from residuals."""
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [bq, bkv]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_off
+    if alibi:
+        s = s + slope * (col - (kv_len - 1)).astype(jnp.float32)
+    p = jnp.exp(s - lse_ref[0][:, 0:1])  # lse lane-broadcast [bq, 128]
+    mask = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_off
+        mask = mask & (col <= row)
+    return jnp.where(mask, p, 0.0)
 
 
 def _bwd_dq_kernel(*refs, scale, kv_len, bq, bkv, causal, alibi):
@@ -492,24 +512,13 @@ def _bwd_dq_kernel(*refs, scale, kv_len, bq, bkv, causal, alibi):
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     def compute():
-        s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [bq, bkv]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_i * bkv
-        if alibi:
-            s = s + slope * (col - (kv_len - 1)).astype(jnp.float32)
-        p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bkv]
-        mask = col < kv_len
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_i * bq
-            mask = mask & (col <= row)
-        p = jnp.where(mask, p, 0.0)
+        p = _bwd_scores(q_ref, k_ref, lse_ref, kv_i * bkv, q_i * bq, scale,
+                        kv_len, causal, alibi, slope)
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bq, bkv]
-        ds = p * (dp - delta_ref[0][:, None])
+        ds = p * (dp - delta_ref[0][:, 0:1])
         dq_scr[:] += scale * jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -544,32 +553,23 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, bq, bkv, causal, alibi):
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     def compute():
-        # transposed orientation: [bkv, bq] tiles so dk/dv accumulate
-        # without in-kernel transposes
-        st = jax.lax.dot_general(
-            k_ref[0], q_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [bkv, bq]
-        kvrow = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + kv_i * bkv
-        if alibi:
-            st = st + slope * (kvrow - (kv_len - 1)).astype(jnp.float32)
-        pt = jnp.exp(st - lse_ref[0][None, :])  # [bkv, bq]
-        mask = kvrow < kv_len
-        if causal:
-            qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1) + q_i * bq
-            mask = mask & (kvrow <= qcol)
-        pt = jnp.where(mask, pt, 0.0)
+        # same [bq, bkv] tile orientation as the dq kernel (the lse/delta
+        # residuals broadcast as [bq, 1] columns); dk/dv contract over the
+        # bq dim directly — dim-0 contractions stay on the MXU, no
+        # in-kernel transposes
+        p = _bwd_scores(q_ref, k_ref, lse_ref, kv_i * bkv, q_i * bq, scale,
+                        kv_len, causal, alibi, slope)
         dv_scr[:] += jax.lax.dot_general(
-            pt.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bkv, d]
-        dpt = jax.lax.dot_general(
-            v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bkv, bq]
-        dst = pt * (dpt - delta_ref[0][None, :])
+        )  # [bq, bkv]
+        ds = p * (dp - delta_ref[0][:, 0:1])
         dk_scr[:] += scale * jax.lax.dot_general(
-            dst.astype(q_ref.dtype), q_ref[0], (((1,), (0,)), ((), ())),
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bkv, d]
 
@@ -602,16 +602,19 @@ def _flash_bwd(q, k, v, out, lse, g, causal, alibi_slopes, bq, bkv, interpret):
     ob = _bh_layout(out, bq)
     s_pad, t_pad = qb.shape[1], kb.shape[1]
     # delta_i = sum_d dO_i * O_i — cheap elementwise reduce, XLA fuses it;
-    # padded rows give 0, which zeroes their ds contribution in-kernel
+    # padded rows give 0, which zeroes their ds contribution in-kernel.
+    # Lane-broadcast to [BH, S, 128] to match the lse layout (Mosaic's
+    # last-two-dims 8x128 block rule forbids (1, bq) blocks)
     delta = jnp.sum(dob.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (128,))
 
     qkv_specs = [
-        pl.BlockSpec((1, bq, d), None),   # q — index_map set per kernel
-        pl.BlockSpec((1, bkv, d), None),  # k
-        pl.BlockSpec((1, bkv, d), None),  # v
-        pl.BlockSpec((1, bq, d), None),   # do
-        pl.BlockSpec((1, bq), None),      # lse
-        pl.BlockSpec((1, bq), None),      # delta
+        pl.BlockSpec((1, bq, d), None),    # q — index_map set per kernel
+        pl.BlockSpec((1, bkv, d), None),   # k
+        pl.BlockSpec((1, bkv, d), None),   # v
+        pl.BlockSpec((1, bq, d), None),    # do
+        pl.BlockSpec((1, bq, 128), None),  # lse (lane-broadcast)
+        pl.BlockSpec((1, bq, 128), None),  # delta (lane-broadcast)
     ]
     operands = [qb, kb, vb, dob, lse, delta]
     if alibi:
@@ -624,8 +627,8 @@ def _flash_bwd(q, k, v, out, lse, g, causal, alibi_slopes, bq, bkv, interpret):
         lambda i, j, kk: (i, kk, 0),  # k
         lambda i, j, kk: (i, kk, 0),  # v
         lambda i, j, kk: (i, j, 0),   # do
-        lambda i, j, kk: (i, j),      # lse
-        lambda i, j, kk: (i, j),      # delta
+        lambda i, j, kk: (i, j, 0),   # lse
+        lambda i, j, kk: (i, j, 0),   # delta
     ]
     dq_specs = [
         pl.BlockSpec(sp.block_shape, m) if sp.block_shape else sp
@@ -650,8 +653,8 @@ def _flash_bwd(q, k, v, out, lse, g, causal, alibi_slopes, bq, bkv, interpret):
         lambda i, j, kk: (i, j, 0),   # k
         lambda i, j, kk: (i, j, 0),   # v
         lambda i, j, kk: (i, kk, 0),  # do
-        lambda i, j, kk: (i, kk),     # lse
-        lambda i, j, kk: (i, kk),     # delta
+        lambda i, j, kk: (i, kk, 0),  # lse
+        lambda i, j, kk: (i, kk, 0),  # delta
     ]
     dkv_specs = [
         pl.BlockSpec(sp.block_shape, m) if sp.block_shape else sp
