@@ -529,8 +529,16 @@ def bench_e2e(args):
     uc_tok = np.zeros((1, 77), np.int32)  # fixed negative prompt
     phases = {}
 
+    def _prog(msg):
+        # eager progress so a runner timeout still shows the last phase
+        print(f"e2e progress: {msg} [{time.perf_counter() - T_START:.0f}s]",
+              file=sys.stderr, flush=True)
+
+    T_START = time.perf_counter()
+
     def run(seed, record=False):
         # stage 1 at 512 px: the caption input (reference test.py:85-87)
+        _prog("stage1@512")
         t0 = time.perf_counter()
         stage1 = engine.batchify_denoise(x_512)
         img_u8 = np.asarray(
@@ -539,12 +547,14 @@ def bench_e2e(args):
         if record:
             phases["stage1@512"] = time.perf_counter() - t0
         # caption (reference test.py:92, cuda:1 hop -> same chip here)
+        _prog("caption")
         t0 = time.perf_counter()
         agent.gen_image_caption([img_u8], temperature=0.0)
         if record:
             phases[f"caption({cap_tokens}tok)"] = time.perf_counter() - t0
         # full-res restore (batchify_sample does its own stage-1 encode,
         # exactly like the reference's batchify_sample on the full image)
+        _prog("encode+condition")
         t0 = time.perf_counter()
         z = engine.encode_first_stage_with_denoise(x)
         # text conditioning through the real towers, per image (reference
@@ -559,6 +569,7 @@ def bench_e2e(args):
             jax.device_get(cc["vector"][0, 0])
             phases["encode+condition(2 towers)"] = time.perf_counter() - t0
             t0 = time.perf_counter()
+        _prog(f"sample({steps})")
         out = engine.batchify_sample(
             x, cc, uu, num_steps=steps, restoration_scale=4.0, cfg_scale=4.0,
             use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,

@@ -75,8 +75,15 @@ def run(cmd, timeout, extra_env=None):
         )
         tail = (p.stdout + p.stderr)[-4000:]
         return {"rc": p.returncode, "s": round(time.time() - t0, 1), "tail": tail}
-    except subprocess.TimeoutExpired:
-        return {"rc": -9, "s": round(time.time() - t0, 1), "tail": "TIMEOUT"}
+    except subprocess.TimeoutExpired as e:
+        # keep whatever the stage printed before the deadline — a timeout
+        # with no tail is undiagnosable
+        parts = []
+        for b in (e.stdout, e.stderr):
+            if b:
+                parts.append(b if isinstance(b, str) else b.decode(errors="replace"))
+        tail = ("TIMEOUT\n" + "\n".join(parts))[-4000:]
+        return {"rc": -9, "s": round(time.time() - t0, 1), "tail": tail}
 
 
 def main():
