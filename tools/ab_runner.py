@@ -34,26 +34,27 @@ PROBE = (
 # captioner_int4_native stays REMOVED: eager s4 buffers crash through the
 # tunneled backend (known; int4_paired is the production native-cast path).
 STAGES = [
-    # headline already captured this round: 9.191 s/image (ab_r05.jsonl)
-    ("pair_kernel_check", [sys.executable, "tools/pair_kernel_check.py"],
-     900, None),
-    ("captioner_fused_pairs", [sys.executable, "bench.py", "--captioner",
-                               "--fused_pairs"], 1800, None),
-    ("captioner_kv8", [sys.executable, "bench.py", "--captioner",
-                       "--kv_int8"], 1800, None),
+    # phase-2 queue (relaunch after the 16:20 runner): headline 9.191,
+    # captioner_kv8 13.00 ms/tok, captioner_fused_pairs 13.25 ms/tok are
+    # already captured in ab_r05.jsonl. grad_flash_tpu + pair_kernel_check
+    # were retired by the 2-strike rule BEFORE their fixes landed
+    # (51d5321 sys.path, 359a4c5 lane-broadcast lse); e2e's two strikes
+    # were host contention + a wedged-tunnel window, not code.
     ("grad_flash_tpu", [sys.executable, "tools/grad_flash_tpu.py"], 1500,
      None),
-    ("e2e", [sys.executable, "bench.py", "--e2e"], 2400, None),
     ("decode_decompose", [sys.executable, "tools/decode_decompose.py",
                           "--bits", "4"], 2400, None),
-    ("batch4", [sys.executable, "bench.py", "--batch", "4"], 1800, None),
-    ("full4k", [sys.executable, "bench.py", "--full4k"], 2400, None),
-    ("full4k_cache2", [sys.executable, "bench.py", "--full4k",
-                       "--cache_interval", "2"], 2400, None),
+    ("e2e", [sys.executable, "bench.py", "--e2e"], 3600, None),
     # round-3 snapshot headline (git worktree at e90039d): is the 9.19 vs
     # 8.43 delta a code regression or chip/tunnel drift?
     ("headline_r3code", [sys.executable, "/tmp/r3check/bench.py"], 2400,
      {"SUPIR_CACHE_DIR": "/root/repo/.jax_cache"}),
+    ("batch4", [sys.executable, "bench.py", "--batch", "4"], 1800, None),
+    ("full4k", [sys.executable, "bench.py", "--full4k"], 2400, None),
+    ("full4k_cache2", [sys.executable, "bench.py", "--full4k",
+                       "--cache_interval", "2"], 2400, None),
+    ("pair_kernel_check", [sys.executable, "tools/pair_kernel_check.py"],
+     900, None),
     ("captioner_fp_kv8", [sys.executable, "bench.py", "--captioner",
                           "--fused_pairs", "--kv_int8"], 1800, None),
     ("batch2", [sys.executable, "bench.py", "--batch", "2"], 1500, None),
