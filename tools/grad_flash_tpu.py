@@ -75,6 +75,32 @@ def main():
         err = float(jnp.abs(a.astype(jnp.float32) - bb.astype(jnp.float32)).max())
         print(f"d{name} max|flash-xla| = {err:.3e}", flush=True)
         ok &= err < 0.125  # bf16 inputs: one-ulp-scale disagreement allowed
+
+    # causal + ALiBi at S=2048: the captioner-training kernel variant
+    # (MPT prefill under grad) — different fwd path (non-packed + SMEM
+    # slopes) and masked backward tiles
+    from supir_tpu.ops.attention import dot_product_attention
+
+    s2 = min(2048, s)
+    qc, kc, vc = (x[:, :s2] for x in (q, k, v))
+    gc = g[:, :s2]
+    slopes = tuple(2.0 ** (-(i + 1)) for i in range(h))
+
+    def make_causal(impl):
+        def loss(q, k, v):
+            out = dot_product_attention(q, k, v, causal=True, impl=impl,
+                                        alibi_slopes=slopes)
+            return jnp.sum(out.astype(jnp.float32) * gc.astype(jnp.float32))
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+    gfc = make_causal("flash")(qc, kc, vc)
+    gxc = make_causal("xla")(qc, kc, vc)
+    jax.device_get(gfc[0][0, 0, 0, 0])
+    for name, a, bb in zip("qkv", gfc, gxc):
+        err = float(jnp.abs(a.astype(jnp.float32) - bb.astype(jnp.float32)).max())
+        print(f"causal+alibi d{name} max|flash-xla| = {err:.3e}", flush=True)
+        ok &= err < 0.125
     print("PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 
