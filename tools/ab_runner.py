@@ -42,13 +42,14 @@ STAGES = [
     # were host contention + a wedged-tunnel window, not code.
     ("grad_flash_tpu", [sys.executable, "tools/grad_flash_tpu.py"], 1500,
      None),
+    # round-3 snapshot headline (git worktree at e90039d): is the 9.19 vs
+    # 8.43 delta a code regression or chip/tunnel drift? Runs EARLY — if
+    # it is a regression it must be found and fixed this round
+    ("headline_r3code", [sys.executable, "/tmp/r3check/bench.py"], 2400,
+     {"SUPIR_CACHE_DIR": "/root/repo/.jax_cache"}),
     ("decode_decompose", [sys.executable, "tools/decode_decompose.py",
                           "--bits", "4"], 2400, None),
     ("e2e", [sys.executable, "bench.py", "--e2e"], 3600, None),
-    # round-3 snapshot headline (git worktree at e90039d): is the 9.19 vs
-    # 8.43 delta a code regression or chip/tunnel drift?
-    ("headline_r3code", [sys.executable, "/tmp/r3check/bench.py"], 2400,
-     {"SUPIR_CACHE_DIR": "/root/repo/.jax_cache"}),
     ("batch4", [sys.executable, "bench.py", "--batch", "4"], 1800, None),
     ("full4k", [sys.executable, "bench.py", "--full4k"], 2400, None),
     ("full4k_cache2", [sys.executable, "bench.py", "--full4k",
