@@ -61,8 +61,14 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         x = Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        # reference GEGLU is x * F.gelu(gate) — exact erf (attention.py:91)
-        return x * nn.gelu(gate, approximate=False)
+        # reference GEGLU is x * F.gelu(gate) — exact erf (attention.py:91).
+        # SUPIR_GEGLU_APPROX=1 swaps in tanh-gelu for perf A/B only (the
+        # r3->r4 headline regression hunt): erf lowers to a slower VPU
+        # sequence than tanh on TPU; exact stays the parity default
+        import os
+
+        approx = os.environ.get("SUPIR_GEGLU_APPROX") == "1"
+        return x * nn.gelu(gate, approximate=approx)
 
 
 class FeedForward(nn.Module):

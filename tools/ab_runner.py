@@ -40,15 +40,17 @@ STAGES = [
     # were retired by the 2-strike rule BEFORE their fixes landed
     # (51d5321 sys.path, 359a4c5 lane-broadcast lse); e2e's two strikes
     # were host contention + a wedged-tunnel window, not code.
-    ("grad_flash_tpu", [sys.executable, "tools/grad_flash_tpu.py"], 1500,
-     None),
-    # round-3 snapshot headline (git worktree at e90039d): is the 9.19 vs
-    # 8.43 delta a code regression or chip/tunnel drift? Runs EARLY — if
-    # it is a regression it must be found and fixed this round
-    ("headline_r3code", [sys.executable, "/tmp/r3check/bench.py"], 2400,
+    # REGRESSION HUNT (phase 3): headline_r3code proved the 8.43->9.19
+    # delta is CODE, not chip drift (r3 code measured 8.428 on the same
+    # day the current code measured 9.191). Since r3 only three things
+    # touched the flat headline path: GEGLU tanh->exact-erf gelu
+    # (e5143ea), engine feature-cache plumbing, and the flash custom_vjp
+    # wrapper (014be0b). These two stages split the space:
+    ("headline_gelu_approx", [sys.executable, "bench.py"], 1500,
+     {"SUPIR_GEGLU_APPROX": "1"}),
+    # worktree at 150e0a9 = post-e5143ea, pre-custom_vjp
+    ("headline_r4mid", [sys.executable, "/tmp/r4check/bench.py"], 1500,
      {"SUPIR_CACHE_DIR": "/root/repo/.jax_cache"}),
-    ("decode_decompose", [sys.executable, "tools/decode_decompose.py",
-                          "--bits", "4"], 2400, None),
     ("e2e", [sys.executable, "bench.py", "--e2e"], 3600, None),
     ("batch4", [sys.executable, "bench.py", "--batch", "4"], 1800, None),
     ("full4k", [sys.executable, "bench.py", "--full4k"], 2400, None),
