@@ -62,12 +62,17 @@ class GEGLU(nn.Module):
         x = Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         x, gate = jnp.split(x, 2, axis=-1)
         # reference GEGLU is x * F.gelu(gate) — exact erf (attention.py:91).
-        # SUPIR_GEGLU_APPROX=1 swaps in tanh-gelu for perf A/B only (the
-        # r3->r4 headline regression hunt): erf lowers to a slower VPU
-        # sequence than tanh on TPU; exact stays the parity default
+        # erf lowers to a much slower VPU sequence than tanh on TPU: exact
+        # erf costs 0.77 s/image over the 50-step sampler (9.19 vs 8.43,
+        # ab_r05 `headline` vs `headline_gelu_approx`, same chip+window).
+        # Under bf16 compute the tanh approximation's max error (~3e-4) is
+        # below bf16 representational noise (~4e-3), so bf16 defaults to
+        # tanh; fp32 keeps exact erf (torch goldens stay exact, atol 2e-4).
+        # SUPIR_GEGLU_APPROX=0/1 force-overrides either way (perf A/B).
         import os
 
-        approx = os.environ.get("SUPIR_GEGLU_APPROX") == "1"
+        env = os.environ.get("SUPIR_GEGLU_APPROX")
+        approx = env == "1" if env is not None else self.dtype == jnp.bfloat16
         return x * nn.gelu(gate, approximate=approx)
 
 

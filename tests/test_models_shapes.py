@@ -155,3 +155,42 @@ def test_xl_refine_mode_exercised(keys):
     uparams = unet.init(keys[0], xt, t, ctx, y, control)
     out = unet.apply(uparams, xt, t, ctx, y, control, 1.0)
     assert out.shape == (1, 16, 16, 4)
+
+
+def test_geglu_gelu_is_dtype_conditioned(monkeypatch):
+    """fp32 GEGLU must use exact-erf gelu (torch-golden parity, reference
+    attention.py:91); bf16 defaults to tanh-approx (error ~3e-4 is below
+    bf16 noise ~4e-3; exact erf measured 0.77 s/image slower across the
+    50-step sampler — ab_r05 headline vs headline_gelu_approx). The
+    SUPIR_GEGLU_APPROX env var force-overrides both ways."""
+    from flax import linen as nn
+
+    from supir_tpu.models.attention import GEGLU
+
+    x32 = jnp.asarray(np.random.RandomState(0).randn(2, 8, 16), jnp.float32)
+    monkeypatch.delenv("SUPIR_GEGLU_APPROX", raising=False)
+
+    m32 = GEGLU(dim_out=24, dtype=jnp.float32)
+    p32 = m32.init(jax.random.PRNGKey(0), x32)
+    y_default = m32.apply(p32, x32)
+    monkeypatch.setenv("SUPIR_GEGLU_APPROX", "0")
+    y_erf = m32.apply(p32, x32)
+    monkeypatch.setenv("SUPIR_GEGLU_APPROX", "1")
+    y_tanh = m32.apply(p32, x32)
+    monkeypatch.delenv("SUPIR_GEGLU_APPROX")
+    assert jnp.array_equal(y_default, y_erf), "fp32 default must be exact erf"
+    assert float(jnp.abs(y_tanh - y_erf).max()) > 0, "override must switch"
+
+    x16 = x32.astype(jnp.bfloat16)
+    m16 = GEGLU(dim_out=24, dtype=jnp.bfloat16)
+    p16 = m16.init(jax.random.PRNGKey(0), x16)
+    y16_default = m16.apply(p16, x16)
+    monkeypatch.setenv("SUPIR_GEGLU_APPROX", "1")
+    y16_tanh = m16.apply(p16, x16)
+    assert jnp.array_equal(y16_default, y16_tanh), "bf16 default must be tanh"
+    # tanh-vs-erf delta stays within ~2 bf16 ulps of the output scale
+    monkeypatch.setenv("SUPIR_GEGLU_APPROX", "0")
+    y16_erf = m16.apply(p16, x16)
+    err = jnp.abs(y16_tanh.astype(jnp.float32) - y16_erf.astype(jnp.float32))
+    scale = float(jnp.abs(y16_erf.astype(jnp.float32)).max())
+    assert float(err.max()) < 2 * 0.0079 * scale  # 2 * bf16 eps
