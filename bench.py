@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import gc
 import json
 import sys
 import time
@@ -501,16 +502,93 @@ def bench_e2e(args):
         size, steps = 128, min(args.steps, 2)
         cap_tokens = 8
 
-    engine = create_engine(
-        cfg, cond_cfg=cond_cfg, rng=jax.random.PRNGKey(0), image_size=64,
-        param_dtype=jnp.bfloat16 if on_tpu else None,
-    )
-    # One chip must hold the full bf16 SDXL engine AND the 13B captioner
-    # (the reference spreads them over two GPUs, test.py:10-17) — the e2e
-    # bench therefore defaults to the memory-lean captioner execution
-    # modes: int8 KV (also the fastest measured decode), int8 lm_head, and
-    # a cache_len sized to the caption budget instead of the serving 1280.
-    # bf16-KV e2e OOMed the 16 GB chip right at the captioner prefill.
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.uniform(rng, (1, size, size, 3), jnp.float32, -1.0, 1.0)
+    s1 = min(512, size)
+    vocab = cond_cfg.clip_l.vocab_size
+    uc_tok = np.zeros((1, 77), np.int32)  # fixed negative prompt
+    phases = {}
+    T_START = time.perf_counter()
+
+    def _prog(msg):
+        # eager progress so a runner timeout still shows the last phase
+        print(f"e2e progress: {msg} [{time.perf_counter() - T_START:.0f}s]",
+              file=sys.stderr, flush=True)
+
+    # One 16 GB v5e chip cannot hold the bf16 SDXL engine (~8 GB) AND the
+    # int4 13B captioner (~7.6 GB) plus compile workspace at once —
+    # measured RESOURCE_EXHAUSTED at the very first phase with both
+    # resident (bench_results/ab_r05.jsonl, e2e rc=1). The reference has
+    # the SAME residency split, expressed as hardware: SUPIR on cuda:0 and
+    # LLaVA on cuda:1 (test.py:10-17). Here the two models time-share the
+    # chip: all engine phases run with only the engine resident, then the
+    # chip swaps to the captioner. Each phase is timed steady-state and
+    # the per-image number is the SUM of phases; the swap itself is not
+    # counted (on a 2-chip TPU deployment, like the reference's 2-GPU one,
+    # it does not exist).
+
+    def engine_phases():
+        engine = create_engine(
+            cfg, cond_cfg=cond_cfg, rng=jax.random.PRNGKey(0), image_size=64,
+            param_dtype=jnp.bfloat16 if on_tpu else None,
+        )
+        x_512 = jax.image.resize(x, (1, s1, s1, 3), "bilinear")
+        imgs = {}
+
+        def run(seed, record=False):
+            # stage 1 at 512 px: the caption input (reference test.py:85-87)
+            _prog("stage1@512")
+            t0 = time.perf_counter()
+            stage1 = engine.batchify_denoise(x_512)
+            imgs[seed] = np.asarray(
+                (jnp.clip(stage1[0], -1, 1) + 1.0) * 127.5
+            ).astype(np.uint8)
+            if record:
+                phases[f"stage1@{s1}"] = time.perf_counter() - t0
+            # full-res restore (batchify_sample does its own stage-1
+            # encode, exactly like the reference's batchify_sample)
+            _prog("encode+condition")
+            t0 = time.perf_counter()
+            z = engine.encode_first_stage_with_denoise(x)
+            # text conditioning through the real towers, per image
+            # (reference test.py:98 encodes the caption every image;
+            # tokenization is host-side string work — the tower compute is
+            # what is timed here. Token IDs vary per image like real
+            # captions would, so the cached path cannot shortcut the towers)
+            tok = np.random.default_rng(seed).integers(
+                0, vocab, (1, 77)).astype(np.int32)
+            cc, uu = engine.prepare_condition(z, tok, tok, uc_tok, uc_tok)
+            if record:
+                jax.device_get(cc["vector"][0, 0])
+                phases["encode+condition(2 towers)"] = time.perf_counter() - t0
+                t0 = time.perf_counter()
+            _prog(f"sample({steps})")
+            out = engine.batchify_sample(
+                x, cc, uu, num_steps=steps, restoration_scale=4.0,
+                cfg_scale=4.0, use_linear_cfg=True, cfg_scale_start=7.5,
+                s_churn=5.0, color_fix_type="Wavelet", seed=seed,
+                z_override=z,
+                feature_cache_interval=args.cache_interval,
+            )
+            jax.device_get(out[0, :1, :1, 0])
+            if record:
+                phases[f"sample({steps})+decode+fix"] = time.perf_counter() - t0
+
+        run(0)  # compile everything in this residency set
+        run(1, record=True)
+        return imgs
+
+    imgs = engine_phases()
+    # Drop the engine before the captioner lands on the chip: params go
+    # out of scope with the closure; clear_caches releases the compiled
+    # executables (which may pin captured constants).
+    jax.clear_caches()
+    gc.collect()
+    _prog("swap engine -> captioner")
+
+    # Memory-lean captioner execution modes: int8 KV (also the fastest
+    # measured decode), int8 lm_head, and a cache_len sized to the caption
+    # budget instead of the serving 1280.
     plen_budget = 576 + 128  # image patches + prompt upper bound
     clen = min(1280, ((plen_budget + cap_tokens + 127) // 128) * 128)
     agent, cap_tokens, model_name = make_captioner_agent(
@@ -520,76 +598,21 @@ def bench_e2e(args):
         head_int8=True,
         cache_len=clen if on_tpu else 1280,
     )
-
-    rng = jax.random.PRNGKey(1)
-    x = jax.random.uniform(rng, (1, size, size, 3), jnp.float32, -1.0, 1.0)
-    s1 = min(512, size)
-    x_512 = jax.image.resize(x, (1, s1, s1, 3), "bilinear")
-    vocab = cond_cfg.clip_l.vocab_size
-    uc_tok = np.zeros((1, 77), np.int32)  # fixed negative prompt
-    phases = {}
-
-    def _prog(msg):
-        # eager progress so a runner timeout still shows the last phase
-        print(f"e2e progress: {msg} [{time.perf_counter() - T_START:.0f}s]",
-              file=sys.stderr, flush=True)
-
-    T_START = time.perf_counter()
-
-    def run(seed, record=False):
-        # stage 1 at 512 px: the caption input (reference test.py:85-87)
-        _prog("stage1@512")
-        t0 = time.perf_counter()
-        stage1 = engine.batchify_denoise(x_512)
-        img_u8 = np.asarray(
-            (jnp.clip(stage1[0], -1, 1) + 1.0) * 127.5
-        ).astype(np.uint8)
-        if record:
-            phases["stage1@512"] = time.perf_counter() - t0
-        # caption (reference test.py:92, cuda:1 hop -> same chip here)
-        _prog("caption")
-        t0 = time.perf_counter()
-        agent.gen_image_caption([img_u8], temperature=0.0)
-        if record:
-            phases[f"caption({cap_tokens}tok)"] = time.perf_counter() - t0
-        # full-res restore (batchify_sample does its own stage-1 encode,
-        # exactly like the reference's batchify_sample on the full image)
-        _prog("encode+condition")
-        t0 = time.perf_counter()
-        z = engine.encode_first_stage_with_denoise(x)
-        # text conditioning through the real towers, per image (reference
-        # test.py:98 encodes the caption every image; tokenization is
-        # host-side string work — the tower compute is what is timed here.
-        # Token IDS vary per image like real captions would, so the cached
-        # path cannot shortcut the towers)
-        tok = np.random.default_rng(seed).integers(
-            0, vocab, (1, 77)).astype(np.int32)
-        cc, uu = engine.prepare_condition(z, tok, tok, uc_tok, uc_tok)
-        if record:
-            jax.device_get(cc["vector"][0, 0])
-            phases["encode+condition(2 towers)"] = time.perf_counter() - t0
-            t0 = time.perf_counter()
-        _prog(f"sample({steps})")
-        out = engine.batchify_sample(
-            x, cc, uu, num_steps=steps, restoration_scale=4.0, cfg_scale=4.0,
-            use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,
-            color_fix_type="Wavelet", seed=seed, z_override=z,
-            feature_cache_interval=args.cache_interval,
-        )
-        jax.device_get(out[0, :1, :1, 0])
-        if record:
-            phases[f"sample({steps})+decode+fix"] = time.perf_counter() - t0
-        return out
-
-    run(0)  # compile everything
+    # caption (reference test.py:92, the cuda:1 hop)
+    _prog("caption compile")
+    agent.gen_image_caption([imgs[0]], temperature=0.0)
+    _prog("caption")
     t0 = time.perf_counter()
-    run(1, record=True)
-    dt = time.perf_counter() - t0
+    agent.gen_image_caption([imgs[1]], temperature=0.0)
+    phases[f"caption({cap_tokens}tok)"] = time.perf_counter() - t0
+
+    dt = sum(phases.values())
     label = (
-        f"sec/image {size}px E2E incl. captioner (stage1@{s1} + llava "
-        f"{model_name} int{args.bits} {cap_tokens}-token caption + CLIP-L/"
-        f"bigG text cond + {steps}-step sample + decode + colorfix, 1 "
-        f"{jax.default_backend()} chip)"
+        f"sec/image {size}px E2E incl. captioner, phase-summed (stage1@{s1} "
+        f"+ llava {model_name} int{args.bits} {cap_tokens}-token caption + "
+        f"CLIP-L/bigG text cond + {steps}-step sample + decode + colorfix; "
+        f"1 {jax.default_backend()} chip time-shared between the two models "
+        f"like the reference's 2 GPUs)"
     )
     print(json.dumps({
         "metric": label,

@@ -34,23 +34,16 @@ PROBE = (
 # captioner_int4_native stays REMOVED: eager s4 buffers crash through the
 # tunneled backend (known; int4_paired is the production native-cast path).
 STAGES = [
-    # phase-2 queue (relaunch after the 16:20 runner): headline 9.191,
-    # captioner_kv8 13.00 ms/tok, captioner_fused_pairs 13.25 ms/tok are
-    # already captured in ab_r05.jsonl. grad_flash_tpu + pair_kernel_check
-    # were retired by the 2-strike rule BEFORE their fixes landed
-    # (51d5321 sys.path, 359a4c5 lane-broadcast lse); e2e's two strikes
-    # were host contention + a wedged-tunnel window, not code.
-    # REGRESSION HUNT (phase 3): headline_r3code proved the 8.43->9.19
-    # delta is CODE, not chip drift (r3 code measured 8.428 on the same
-    # day the current code measured 9.191). Since r3 only three things
-    # touched the flat headline path: GEGLU tanh->exact-erf gelu
-    # (e5143ea), engine feature-cache plumbing, and the flash custom_vjp
-    # wrapper (014be0b). These two stages split the space:
-    ("headline_gelu_approx", [sys.executable, "bench.py"], 1500,
-     {"SUPIR_GEGLU_APPROX": "1"}),
-    # worktree at 150e0a9 = post-e5143ea, pre-custom_vjp
-    ("headline_r4mid", [sys.executable, "/tmp/r4check/bench.py"], 1500,
-     {"SUPIR_CACHE_DIR": "/root/repo/.jax_cache"}),
+    # phase-4 queue (post regression fix): the hunt proved the 8.43->9.19
+    # headline delta was the GEGLU exact-erf gelu (gelu_approx=1 on current
+    # code measured 8.426 == r3's 8.428; the r4mid worktree with erf gelu
+    # measured 9.193). d1f694e makes bf16 default to tanh gelu — this
+    # stage certifies the fix at head:
+    ("headline_fixed", [sys.executable, "bench.py"], 1500, None),
+    # e2e previously RESOURCE_EXHAUSTED at stage1@512 (engine ~8 GB +
+    # captioner ~7.6 GB + workspace > 16 GB HBM): now phase-split into two
+    # residency sets (engine phases, then swap to captioner) — see
+    # bench_e2e docstring.
     ("e2e", [sys.executable, "bench.py", "--e2e"], 3600, None),
     ("batch4", [sys.executable, "bench.py", "--batch", "4"], 1800, None),
     ("full4k", [sys.executable, "bench.py", "--full4k"], 2400, None),
