@@ -581,10 +581,23 @@ def bench_e2e(args):
     imgs = engine_phases()
     # Drop the engine before the captioner lands on the chip: params go
     # out of scope with the closure; clear_caches releases the compiled
-    # executables (which may pin captured constants).
+    # executables (which may pin captured constants); then hard-delete any
+    # buffer still alive (nothing device-side survives this point — imgs
+    # are numpy) so a stray Python reference cannot hold 8 GB of HBM
+    # through the captioner's allocation.
     jax.clear_caches()
     gc.collect()
-    _prog("swap engine -> captioner")
+    for a in jax.live_arrays():
+        a.delete()
+    gc.collect()
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        _prog(
+            f"swap engine -> captioner (HBM in use: "
+            f"{stats.get('bytes_in_use', 0) / 1e9:.2f} GB)"
+        )
+    except Exception:
+        _prog("swap engine -> captioner")
 
     # Memory-lean captioner execution modes: int8 KV (also the fastest
     # measured decode), int8 lm_head, and a cache_len sized to the caption

@@ -38,6 +38,35 @@ from supir_tpu.utils.colorfix import (
     wavelet_reconstruction,
 )
 
+def _per_instance_cache(maxsize: int = 8):
+    """lru_cache for methods that dies WITH the instance.
+
+    `functools.lru_cache` applied directly to a method keys on `self` in a
+    class-level cache, pinning every engine ever built (and its ~GBs of
+    compiled closures) for the life of the process — the web demo's Q/F
+    hot-swap and bench --e2e's engine->captioner chip swap both leak HBM
+    that way. This variant stores the lru_cache in the instance __dict__,
+    so dropping the engine frees everything (the closure->self cycle is
+    ordinary gc fodder)."""
+
+    def deco(fn):
+        attr = f"__memo_{fn.__name__}"
+
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            memo = self.__dict__.get(attr)
+            if memo is None:
+                memo = functools.lru_cache(maxsize=maxsize)(
+                    lambda *a, **k: fn(self, *a, **k)
+                )
+                self.__dict__[attr] = memo
+            return memo(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 SAMPLERS = {
     "RestoreEDM": S.restore_edm_sample,
     "EulerEDM": S.euler_edm_sample,
@@ -139,7 +168,7 @@ class SUPIREngine:
         statistics (the reference's fast mode, :855-876), ~1.4x faster."""
         self._tile_vae = (encoder_tile_size, decoder_tile_size, chunk, fast_mode)
 
-    @functools.lru_cache(maxsize=8)
+    @_per_instance_cache(maxsize=8)
     def _tiled_vae_fns(self, enc_tile: int, dec_tile: int, chunk=None,
                        fast_mode=False, *, mesh_key=None):
         from supir_tpu.parallel.tiled_vae import tiled_decode, tiled_encode
@@ -455,7 +484,7 @@ class SUPIREngine:
             return contextlib.nullcontext()
         return sequence_sharding(self._seq_mesh, self._seq_axis)
 
-    @functools.lru_cache(maxsize=16)
+    @_per_instance_cache(maxsize=16)
     def _sample_fn(self, sampler_name: str, num_steps: int, eta: float, s_noise: float,
                    seq_mesh_key=None, cache_interval: int = 0):
         sample = SAMPLERS[sampler_name]
@@ -557,7 +586,7 @@ class SUPIREngine:
         return self._feature_cache_zeros(
             params, cond2_dummy(n_tiles * b), x_shape(n_tiles * b))
 
-    @functools.lru_cache(maxsize=8)
+    @_per_instance_cache(maxsize=8)
     def _tiled_sample_fn(
         self, num_steps: int, s_noise: float, tile_size: int, tile_stride: int,
         local_prompts: bool, mesh_key=None, sampler_name: str = "TiledRestoreEDM",
