@@ -602,7 +602,10 @@ def bench_e2e(args):
     # Memory-lean captioner execution modes: int8 KV (also the fastest
     # measured decode), int8 lm_head, and a cache_len sized to the caption
     # budget instead of the serving 1280.
-    plen_budget = 576 + 128  # image patches + prompt upper bound
+    # image patches + prompt upper bound: the llava_v1 conversation wrap
+    # around the caption question measured 235 tokens on chip (ab_r05 e2e
+    # "prefill 811"); 256 leaves headroom without wasting KV rows
+    plen_budget = 576 + 256
     clen = min(1280, ((plen_budget + cap_tokens + 127) // 128) * 128)
     agent, cap_tokens, model_name = make_captioner_agent(
         args.bits, new_tokens=cap_tokens,

@@ -88,7 +88,18 @@ def main():
     ap.add_argument("--log", default="/tmp/ab_results.jsonl")
     ap.add_argument("--probe_every", type=int, default=120)
     ap.add_argument("--max_hours", type=float, default=6.0)
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="run only these stage names (follow-up instances re-measuring "
+        "a stage that was retired before its fix landed)",
+    )
     args = ap.parse_args()
+
+    global STAGES
+    if args.only:
+        unknown = set(args.only) - {n for n, *_ in STAGES}
+        assert not unknown, f"unknown stages: {unknown}"
+        STAGES = [s for s in STAGES if s[0] in args.only]
 
     done = set()
     fails: dict[str, int] = {}
