@@ -60,7 +60,7 @@ STAGES = [
 ]
 
 
-def run(cmd, timeout, extra_env=None):
+def run(cmd, timeout, extra_env=None, name=None):
     t0 = time.time()
     env = None
     if extra_env:
@@ -70,6 +70,11 @@ def run(cmd, timeout, extra_env=None):
             cmd, cwd=ROOT, timeout=timeout, capture_output=True, text=True,
             env=env,
         )
+        if name:
+            # full output per stage: OOM reports put the largest program
+            # allocations at the HEAD, which a 4000-char tail amputates
+            with open(f"/tmp/ab_stage_{name}.log", "w") as f:
+                f.write(p.stdout + "\n--- stderr ---\n" + p.stderr)
         tail = (p.stdout + p.stderr)[-4000:]
         return {"rc": p.returncode, "s": round(time.time() - t0, 1), "tail": tail}
     except subprocess.TimeoutExpired as e:
@@ -115,7 +120,7 @@ def main():
             if name in done:
                 continue
             print(f"=== {name}: {' '.join(cmd)}", flush=True)
-            r = run(cmd, to, extra_env)
+            r = run(cmd, to, extra_env, name=name)
             rec = {"stage": name, **r, "ts": time.time()}
             with open(args.log, "a") as f:
                 f.write(json.dumps(rec) + "\n")
