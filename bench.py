@@ -665,68 +665,99 @@ def bench_full4k(args):
         enc_tile, dec_tile = 64, 8
         ref_vae_only = 250.0
 
-    engine = create_engine(
-        cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
-        param_dtype=jnp.bfloat16 if on_tpu else None,
-    )
-    # small VAE chunks: the flaky tunneled chip rejects allocations well
-    # below nominal HBM capacity, so keep every stage's peak modest
-    engine.init_tile_vae(encoder_tile_size=enc_tile, decoder_tile_size=dec_tile,
-                         chunk=(2, 2))
+    # Graduated memory ladder: the tunneled chip intermittently rejects
+    # allocations well below nominal HBM capacity (leaked remote buffers
+    # from killed sessions — the r3 window ran the first config at 375 s;
+    # later windows RESOURCE_EXHAUSTED on identical code). A slower but
+    # leaner tiling that produces a measured number beats an OOM; the
+    # label names the config actually used.
+    ladder = [
+        (enc_tile, dec_tile, (2, 2), args.tile_chunk, args.steps_per_call),
+        (max(enc_tile // 2, 64), dec_tile, (1, 1),
+         max(args.tile_chunk // 2, 1), args.steps_per_call),
+    ]
+    if not on_tpu:
+        ladder = ladder[:1]
 
-    rng = jax.random.PRNGKey(1)
-    x = jax.random.uniform(rng, (1, size, size, 3), jnp.float32, -1.0, 1.0)
-    c = {
-        "crossattn": jax.random.normal(rng, (1, 77, cfg.unet.context_dim), jnp.float32),
-        "vector": jax.random.normal(rng, (1, cfg.unet.adm_in_channels), jnp.float32),
-    }
-    uc = dict(c)
-
-    def run(seed, cache_interval=0):
-        z = engine.encode_first_stage_with_denoise(x)
-        cc = dict(c, control=z)
-        uu = dict(uc, control=z)
-        out = engine.batchify_sample_tiled(
-            x, cc, uu, num_steps=steps, tile_size=tile_size,
-            tile_stride=tile_stride, restoration_scale=4.0, cfg_scale=4.0,
-            use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,
-            color_fix_type="Wavelet", seed=seed, z_override=z,
-            tile_chunk=args.tile_chunk, steps_per_call=args.steps_per_call,
-            feature_cache_interval=cache_interval,
+    def attempt(enc_t, dec_t, vae_chunk, tile_chunk, steps_per_call):
+        engine = create_engine(
+            cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
+            param_dtype=jnp.bfloat16 if on_tpu else None,
         )
-        jax.device_get(out[0, :1, :1, 0])
-        return out
+        engine.init_tile_vae(encoder_tile_size=enc_t, decoder_tile_size=dec_t,
+                             chunk=vae_chunk)
 
-    ci = args.cache_interval
-    run(0, ci)  # compile
-    t0 = time.perf_counter()
-    out_c = run(1, ci)
-    dt = time.perf_counter() - t0
-    label = (
-        f"sec/image {size}px {steps} EDM steps FULL tiled pipeline "
-        f"(tile {tile_size}/{tile_stride}, chunk {args.tile_chunk}, 1 "
-        f"{jax.default_backend()} chip; tiled-VAE stage1+sample+decode+"
-        f"colorfix; text towers/captioner excluded; baseline = reference "
-        f"4K tiled-VAE time alone)"
-    )
-    if ci:
-        label += f" [tiled feature-cache interval {ci}]"
-    print(json.dumps({
-        "metric": label,
-        "value": round(dt, 3),
-        "unit": "s",
-        "vs_baseline": round(ref_vae_only / dt, 3),
-    }), flush=True)
-    if ci and ci > 1:
-        # quantified drift vs the exact path (same seed): the fidelity
-        # number the cache's speedup must be weighed against
-        exact = np.asarray(run(1, 0), np.float32)
-        fast = np.asarray(out_c, np.float32)
-        mse = float(np.mean((exact - fast) ** 2))  # images in [-1, 1]
-        psnr = 99.0 if mse == 0 else 10 * np.log10(4.0 / mse)
-        print(f"cache drift vs exact (interval {ci}, same seed): "
-              f"PSNR {psnr:.2f} dB, max|d| {np.abs(exact-fast).max():.4f}",
-              file=sys.stderr)
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.uniform(rng, (1, size, size, 3), jnp.float32, -1.0, 1.0)
+        c = {
+            "crossattn": jax.random.normal(
+                rng, (1, 77, cfg.unet.context_dim), jnp.float32),
+            "vector": jax.random.normal(
+                rng, (1, cfg.unet.adm_in_channels), jnp.float32),
+        }
+        uc = dict(c)
+
+        def run(seed, cache_interval=0):
+            z = engine.encode_first_stage_with_denoise(x)
+            cc = dict(c, control=z)
+            uu = dict(uc, control=z)
+            out = engine.batchify_sample_tiled(
+                x, cc, uu, num_steps=steps, tile_size=tile_size,
+                tile_stride=tile_stride, restoration_scale=4.0, cfg_scale=4.0,
+                use_linear_cfg=True, cfg_scale_start=7.5, s_churn=5.0,
+                color_fix_type="Wavelet", seed=seed, z_override=z,
+                tile_chunk=tile_chunk, steps_per_call=steps_per_call,
+                feature_cache_interval=cache_interval,
+            )
+            jax.device_get(out[0, :1, :1, 0])
+            return out
+
+        ci = args.cache_interval
+        run(0, ci)  # compile
+        t0 = time.perf_counter()
+        out_c = run(1, ci)
+        dt = time.perf_counter() - t0
+        label = (
+            f"sec/image {size}px {steps} EDM steps FULL tiled pipeline "
+            f"(tile {tile_size}/{tile_stride}, chunk {tile_chunk}, VAE "
+            f"{enc_t}/{dec_t}x{vae_chunk[0]}, 1 "
+            f"{jax.default_backend()} chip; tiled-VAE stage1+sample+decode+"
+            f"colorfix; text towers/captioner excluded; baseline = reference "
+            f"4K tiled-VAE time alone)"
+        )
+        if ci:
+            label += f" [tiled feature-cache interval {ci}]"
+        print(json.dumps({
+            "metric": label,
+            "value": round(dt, 3),
+            "unit": "s",
+            "vs_baseline": round(ref_vae_only / dt, 3),
+        }), flush=True)
+        if ci and ci > 1:
+            # quantified drift vs the exact path (same seed): the fidelity
+            # number the cache's speedup must be weighed against
+            exact = np.asarray(run(1, 0), np.float32)
+            fast = np.asarray(out_c, np.float32)
+            mse = float(np.mean((exact - fast) ** 2))  # images in [-1, 1]
+            psnr = 99.0 if mse == 0 else 10 * np.log10(4.0 / mse)
+            print(f"cache drift vs exact (interval {ci}, same seed): "
+                  f"PSNR {psnr:.2f} dB, max|d| {np.abs(exact-fast).max():.4f}",
+                  file=sys.stderr)
+
+    for i, config in enumerate(ladder):
+        try:
+            attempt(*config)
+            return
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or i + 1 == len(ladder):
+                raise
+            print(f"full4k config {config} RESOURCE_EXHAUSTED; dropping to "
+                  f"leaner tiling {ladder[i + 1]}", file=sys.stderr, flush=True)
+            jax.clear_caches()
+            gc.collect()
+            for a in jax.live_arrays():
+                a.delete()
+            gc.collect()
 
 
 def bench_sharded(args):
