@@ -194,12 +194,23 @@ def main():
         steps = args.steps
         label = f"sec/image {size}px {steps} EDM steps (full SDXL width, 1 chip; {path_note})"
 
-    engine = create_engine(
-        cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
-        param_dtype=jnp.bfloat16,
-    )
-
     b = args.batch
+
+    def build_engine(chunked_vae):
+        engine = create_engine(
+            cfg, cond_cfg=None, rng=jax.random.PRNGKey(0), image_size=64,
+            param_dtype=jnp.bfloat16,
+        )
+        if chunked_vae:
+            # batch>2 fallback: the batched VAE decode's NHWC intermediates
+            # (b x 1024^2 x 128ch fp32 and up) are the HBM peak, not the
+            # sampler — chunked tiled decode trades a few % of time for
+            # fitting the batch on one chip
+            engine.init_tile_vae(encoder_tile_size=512, decoder_tile_size=64,
+                                 chunk=(1, 1))
+        return engine
+
+    engine = build_engine(False)
     rng = jax.random.PRNGKey(1)
     x = jax.random.uniform(rng, (b, size, size, 3), jnp.float32, -1.0, 1.0)
     lat = size // cfg.vae.downscale_factor
@@ -232,7 +243,33 @@ def main():
         jax.device_get(out[0, :1, :1, 0])
         return out
 
-    run(0)  # compile + warm caches
+    chunked = False
+    try:
+        run(0)  # compile + warm caches
+    except jax.errors.JaxRuntimeError as e:
+        if "RESOURCE_EXHAUSTED" not in str(e) or b <= 1:
+            raise
+        print(f"batch {b} plain VAE RESOURCE_EXHAUSTED; retrying with "
+              f"chunked tiled decode", file=sys.stderr, flush=True)
+        jax.clear_caches()
+        gc.collect()
+        for a in jax.live_arrays():
+            a.delete()
+        gc.collect()
+        chunked = True
+        engine = build_engine(True)
+        # recreate the (deleted) inputs from the same keys — identical values
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.uniform(rng, (b, size, size, 3), jnp.float32, -1.0, 1.0)
+        c = {
+            "crossattn": jax.random.normal(
+                rng, (b, 77, cfg.unet.context_dim), jnp.float32),
+            "vector": jax.random.normal(
+                rng, (b, cfg.unet.adm_in_channels), jnp.float32),
+            "control": jnp.zeros((b, lat, lat, 4), jnp.float32),
+        }
+        uc = dict(c)
+        run(0)
     t0 = time.perf_counter()
     n_rep = 2
     for i in range(n_rep):
@@ -240,6 +277,8 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep / b
     if b > 1:
         label = label.replace("sec/image", f"sec/image (batch {b})")
+    if chunked:
+        label += " [chunked tiled VAE decode]"
     if args.cache_interval:
         label += f" [feature-cache interval {args.cache_interval}]"
 
